@@ -1,0 +1,236 @@
+"""Algorithm correctness vs. host oracles (reference .gm semantics).
+
+Mirrors the reference's numeric verification strategy
+(``scripts/extract_result.py``): exact integer outputs for BFS/SSSP/CC/
+triangles, tolerance float match for PageRank, plus determinism (CRC)
+gates."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from green_marl_tpu.graph import generate as gen
+from green_marl_tpu.graph.csr import from_edges, to_undirected
+from green_marl_tpu.models import bfs as m_bfs
+from green_marl_tpu.models import cc as m_cc
+from green_marl_tpu.models import conductance as m_cond
+from green_marl_tpu.models import hop_dist as m_hop
+from green_marl_tpu.models import pagerank as m_pr
+from green_marl_tpu.models import relax as m_relax
+from green_marl_tpu.models import sssp as m_sssp
+from green_marl_tpu.models import triangle as m_tri
+from green_marl_tpu.ops import segment as ops
+from green_marl_tpu.utils.crc import array_checksum
+
+
+def make_graph(n=500, m=3000, seed=0, undirected=False):
+    src, dst = gen.uniform_random_edges(n, m, seed=seed)
+    if undirected:
+        src, dst = to_undirected(src, dst)
+    g, perm = from_edges(src, dst, n)
+    return g, perm
+
+
+INT_MAX32 = np.iinfo(np.int32).max
+INT_MAX64 = np.iinfo(np.int64).max
+
+
+class TestPageRank:
+    def test_matches_oracle(self):
+        g, _ = make_graph(400, 2500, seed=1)
+        res = m_pr.pagerank(g)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want, want_diff, want_iters = m_pr.pagerank_np(begin, node_idx)
+        got = np.asarray(res.rank)[: g.num_nodes]
+        assert int(res.iterations) == want_iters
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-9)
+        # ranks sum to <= 1 (dangling nodes leak mass, same as reference)
+        assert got.sum() <= 1.0 + 1e-3
+
+    def test_junk_rows_zero(self):
+        g, _ = make_graph(100, 700, seed=2)
+        res = m_pr.pagerank(g)
+        tail = np.asarray(res.rank)[g.num_nodes:]
+        assert (tail == 0).all()
+
+    def test_deterministic(self):
+        g, _ = make_graph(300, 2000, seed=3)
+        r1 = np.asarray(m_pr.pagerank(g).rank)
+        r2 = np.asarray(m_pr.pagerank(g).rank)
+        assert array_checksum(r1) == array_checksum(r2)
+
+    def test_iteration_cap(self):
+        g, _ = make_graph(200, 1500, seed=4)
+        res = m_pr.pagerank(g, e=0.0, max_iter=7)
+        assert int(res.iterations) == 7
+
+
+class TestHopDist:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_bfs_oracle(self, seed):
+        g, _ = make_graph(300, 1500, seed=seed)
+        root = 0
+        res = m_hop.hop_dist(g, root)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_bfs.bfs_np(begin, node_idx, root)
+        got = np.asarray(res.dist)[: g.num_nodes].astype(np.int64)
+        got = np.where(got == INT_MAX32, -1, got)
+        assert (got == want).all()
+
+    def test_root_distances(self):
+        # extract_result golden shape: dist[root]=0, out-nbrs of root = 1
+        g, _ = make_graph(100, 900, seed=5)
+        res = m_hop.hop_dist(g, 0)
+        dist = np.asarray(res.dist)
+        assert dist[0] == 0
+        begin = np.asarray(g.begin)
+        ni = np.asarray(g.node_idx)
+        for v in ni[begin[0]:begin[1]]:
+            assert dist[v] == 1
+
+
+class TestSSSP:
+    def test_matches_bellman_ford(self):
+        g, perm = make_graph(250, 1800, seed=6)
+        rng = np.random.default_rng(0)
+        w_input = rng.integers(1, 20, size=g.num_edges)
+        w_csr = np.zeros(g.e_pad, np.int32)
+        w_csr[: g.num_edges] = w_input[perm]
+        res = m_sssp.sssp(g, 0, jnp.asarray(w_csr))
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_relax.min_relax_np(begin, node_idx, 0,
+                                    edge_len=w_csr[: g.num_edges])
+        got = np.asarray(res.dist)[: g.num_nodes].astype(np.int64)
+        got = np.where(got == INT_MAX32, INT_MAX64, got)
+        assert (got == want).all()
+
+
+class TestBFS:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_levels(self, seed):
+        g, _ = make_graph(300, 2000, seed=seed)
+        res = m_bfs.bfs(g, 0)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_bfs.bfs_np(begin, node_idx, 0)
+        got = np.asarray(res.level)[: g.num_nodes]
+        assert (got == want).all()
+        assert int(res.reached) == int((want >= 0).sum())
+
+    def test_reverse_bfs(self):
+        src = np.array([0, 1, 2])
+        dst = np.array([1, 2, 3])
+        g, _ = from_edges(src, dst, 4)
+        res = m_bfs.bfs(g, 3, reverse=True)
+        level = np.asarray(res.level)[:4]
+        assert level.tolist() == [3, 2, 1, 0]
+
+
+class TestCC:
+    def test_two_components(self):
+        src = np.array([0, 1, 3, 4])
+        dst = np.array([1, 2, 4, 5])
+        g, _ = from_edges(src, dst, 6)
+        res = m_cc.weak_cc(g)
+        comp = np.asarray(res.comp)[:6]
+        assert comp.tolist() == [0, 0, 0, 3, 3, 3]
+
+    def test_matches_oracle(self):
+        g, _ = make_graph(200, 260, seed=7)
+        res = m_cc.weak_cc(g)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_cc.weak_cc_np(begin, node_idx)
+        got = np.asarray(res.comp)[: g.num_nodes]
+        assert (got == want).all()
+
+
+class TestTriangles:
+    def test_small_known(self):
+        # one triangle 0-1-2 plus a pendant edge, undirected
+        src, dst = to_undirected(np.array([0, 1, 0, 2]),
+                                 np.array([1, 2, 2, 3]))
+        g, _ = from_edges(src, dst, 4)
+        assert m_tri.triangle_count(g) == 1
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_oracle(self, seed):
+        src, dst = gen.uniform_random_edges(60, 400, seed=seed)
+        src, dst = to_undirected(src, dst)
+        keep = src != dst  # drop self loops like reference RMAT inputs
+        g, _ = from_edges(src[keep], dst[keep], 60)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_tri.triangle_count_np(begin, node_idx)
+        assert m_tri.triangle_count(g) == want
+
+    def test_chunking(self):
+        src, dst = gen.rmat_edges(128, 2000, seed=2)
+        src, dst = to_undirected(src, dst)
+        g, _ = from_edges(src, dst, 128)
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        want = m_tri.triangle_count_np(begin, node_idx)
+        assert m_tri.triangle_count(g, chunk=256) == want
+
+
+class TestConductance:
+    def test_matches_definition(self):
+        g, _ = make_graph(100, 800, seed=8, undirected=True)
+        member = np.zeros(g.n_pad, np.int32)
+        member[:50] = 1
+        got = float(m_cond.conductance(g, jnp.asarray(member), 1))
+        begin = np.asarray(g.begin)
+        ni = np.asarray(g.node_idx)[: g.num_edges]
+        deg = np.diff(begin)
+        srcs = np.repeat(np.arange(g.num_nodes), deg)
+        inside = member[: g.num_nodes] == 1
+        din = deg[inside].sum()
+        dout = deg[~inside].sum()
+        cross = int((inside[srcs] & ~inside[ni]).sum())
+        want = cross / min(din, dout)
+        assert abs(got - want) < 1e-6
+
+    def test_empty_cut(self):
+        g, _ = make_graph(50, 300, seed=9)
+        member = np.zeros(g.n_pad, np.int32)
+        assert float(m_cond.conductance(g, jnp.asarray(member), 1)) == 0.0
+
+
+class TestOps:
+    def test_has_edge_to(self):
+        g, _ = make_graph(80, 600, seed=10)
+        begin = np.asarray(g.begin)
+        ni = np.asarray(g.node_idx)[: g.num_edges]
+        rows = [set(ni[begin[v]:begin[v + 1]].tolist())
+                for v in range(g.num_nodes)]
+        rng = np.random.default_rng(0)
+        qs = rng.integers(0, g.num_nodes, size=200)
+        qd = rng.integers(0, g.num_nodes, size=200)
+        got = np.asarray(ops.has_edge_to(
+            g, jnp.asarray(qs.astype(np.int32)),
+            jnp.asarray(qd.astype(np.int32))))
+        want = np.array([d in rows[s] for s, d in zip(qs, qd)])
+        assert (got == want).all()
+
+    def test_in_out_sums_agree_with_dense(self):
+        g, _ = make_graph(64, 400, seed=11)
+        x = jnp.asarray(np.random.default_rng(1).random(g.n_pad),
+                        dtype=jnp.float32)
+        got_in = np.asarray(ops.in_nbr_sum(g, x))[: g.num_nodes]
+        begin = np.asarray(g.begin)
+        ni = np.asarray(g.node_idx)[: g.num_edges]
+        deg = np.diff(begin)
+        srcs = np.repeat(np.arange(g.num_nodes), deg)
+        xs = np.asarray(x)
+        want = np.zeros(g.num_nodes, np.float32)
+        np.add.at(want, ni, xs[srcs])
+        np.testing.assert_allclose(got_in, want, rtol=1e-5)
+        got_out = np.asarray(ops.out_nbr_sum(g, x))[: g.num_nodes]
+        want_out = np.zeros(g.num_nodes, np.float32)
+        np.add.at(want_out, srcs, xs[ni])
+        np.testing.assert_allclose(got_out, want_out, rtol=1e-5)
