@@ -1,0 +1,160 @@
+"""Batched multi-instance algorithms: many roots / configs in lockstep.
+
+The reference runs one algorithm instance per process (bc.gm iterates its
+seed set sequentially; SURVEY.md §2.10 "batched instances: absent").  This
+module adds the new capability the TPU build is for: advancing B instances
+per superstep with one fused device program.
+
+TPU-first layout: instance state is ``[N_pad, B]`` with the batch as the
+**trailing (lane) axis** — a per-edge gather then touches one contiguous
+B-wide vector per endpoint, so edge maps stay dense vector loads/stores
+instead of strided scatters.  Edge traversal is chunked with
+``lax.scan`` over fixed-size slices of the padded edge arrays, carrying the
+``[N_pad, B]`` accumulator (donated, updated in place by XLA) — the same
+structure the Pallas kernels drop into.
+
+Numeric note: distances are int32; convergence predicates reduce over both
+axes so the loop runs until *every* instance is done (matching vmap
+semantics of ``lax.while_loop`` but with explicit masking).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.superstep import while_loop
+from ..graph.csr import Graph
+from ..ops import segment as ops
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _edge_chunks(g: Graph, chunk: int):
+    """(chunk, n_chunks, pad_to) — edge arrays are padded with sentinel
+    slots up to ``n_chunks * chunk`` so ``reshape`` is exact."""
+    chunk = min(chunk, g.e_pad)
+    n_chunks = -(-g.e_pad // chunk)
+    return chunk, n_chunks, n_chunks * chunk
+
+
+def _chunked(g: Graph, arr: jax.Array, n_chunks: int, chunk: int,
+             fill) -> jax.Array:
+    pad = n_chunks * chunk - arr.shape[0]
+    if pad:
+        arr = jnp.pad(arr, (0, pad), constant_values=fill)
+    return arr.reshape(n_chunks, chunk)
+
+
+class MultiBfsResult(NamedTuple):
+    dist: jax.Array        # [N_pad, B] int32 (INT32_MAX = unreached)
+    levels_run: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_iter", "chunk"))
+def multi_source_bfs(g: Graph, roots: jax.Array,
+                     max_iter: Optional[int] = None,
+                     chunk: int = 1 << 20) -> MultiBfsResult:
+    """Level-synchronous BFS from ``roots[b]`` for every instance b.
+
+    The frontier is implicit — ``dist == depth`` — so per-instance state is
+    one int32 plane; supersteps run until no instance has a live frontier.
+    """
+    if max_iter is None:
+        max_iter = g.num_nodes + 1
+    B = roots.shape[0]
+    chunk, n_chunks, _ = _edge_chunks(g, chunk)
+    mask = g.node_mask()
+
+    dist0 = jnp.full((g.n_pad, B), INT32_MAX, jnp.int32)
+    dist0 = dist0.at[roots, jnp.arange(B)].set(0)
+    dist0 = jnp.where(mask[:, None], dist0, INT32_MAX)
+
+    sent = g.sentinel
+    csc_src = _chunked(g, g.r_node_idx, n_chunks, chunk, sent)
+    csc_dst = _chunked(g, g.r_node_idx_dst, n_chunks, chunk, sent)
+
+    def step(state):
+        dist, depth = state
+        frontier = dist == depth                      # [N_pad, B]
+
+        def scan_body(hit, edges):
+            src, dst = edges
+            vals = frontier[src]                      # [chunk, B] gather
+            return hit.at[dst].max(vals), None
+
+        hit0 = jnp.zeros((g.n_pad, B), jnp.bool_)
+        hit, _ = jax.lax.scan(scan_body, hit0, (csc_src, csc_dst))
+        newly = hit & (dist == INT32_MAX) & mask[:, None]
+        new_dist = jnp.where(newly, depth + 1, dist)
+        return new_dist, depth + 1
+
+    def not_done(state):
+        dist, depth = state
+        return jnp.any(dist == depth)
+
+    (dist, _), stats = while_loop(
+        step, not_done, (dist0, jnp.zeros((), jnp.int32)), max_iter)
+    return MultiBfsResult(dist=dist, levels_run=stats.iterations)
+
+
+class MultiPageRankResult(NamedTuple):
+    rank: jax.Array        # [N_pad, B]
+    diff: jax.Array        # [B]
+    iterations: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_iter", "chunk", "dtype"))
+def multi_pagerank(g: Graph, damping: jax.Array, e=0.001,
+                   max_iter: int = 100, chunk: int = 1 << 20,
+                   dtype=jnp.float32) -> MultiPageRankResult:
+    """PageRank with a per-instance damping factor ``damping[b]``.
+
+    Converged instances are frozen (their rank plane stops changing) while
+    the rest keep iterating; the loop exits when all are converged or at
+    ``max_iter``.
+    """
+    B = damping.shape[0]
+    chunk, n_chunks, _ = _edge_chunks(g, chunk)
+    n = g.num_nodes
+    mask = g.node_mask()
+    inv_n = jnp.asarray(1.0 / n, dtype)
+    e = jnp.asarray(e, dtype)
+    d = damping.astype(dtype)[None, :]                # [1, B]
+
+    out_deg = g.out_degree().astype(dtype)
+    inv_deg = jnp.where(out_deg > 0, 1.0 / jnp.maximum(out_deg, 1), 0.0)
+
+    rank0 = jnp.where(mask[:, None], inv_n, 0).astype(dtype) \
+        * jnp.ones((1, B), dtype)
+
+    sent = g.sentinel
+    csc_src = _chunked(g, g.r_node_idx, n_chunks, chunk, sent)
+    csc_dst = _chunked(g, g.r_node_idx_dst, n_chunks, chunk, sent)
+
+    def step(state):
+        rank, diff, active = state
+        contrib = rank * inv_deg[:, None]
+
+        def scan_body(acc, edges):
+            src, dst = edges
+            return acc.at[dst].add(contrib[src]), None
+
+        s0 = jnp.zeros((g.n_pad, B), dtype)
+        s, _ = jax.lax.scan(scan_body, s0, (csc_src, csc_dst))
+        val = (1 - d) * inv_n + d * s
+        val = jnp.where(mask[:, None], val, 0)
+        new_diff = jnp.sum(jnp.abs(val - rank), axis=0)  # [B]
+        rank = jnp.where(active[None, :], val, rank)
+        return rank, jnp.where(active, new_diff, diff), active & (new_diff > e)
+
+    def not_done(state):
+        return jnp.any(state[2])
+
+    state0 = (rank0, jnp.zeros((B,), dtype), jnp.ones((B,), jnp.bool_))
+    (rank, diff, _), stats = while_loop(step, not_done, state0, max_iter)
+    return MultiPageRankResult(rank=rank, diff=diff,
+                               iterations=stats.iterations)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..engine.superstep import while_loop
 from ..graph.csr import Graph
+from ..ops import scan_reduce
 from ..ops import segment as ops
 
 # Reference direction-switch thresholds (gm_bfs_template.h:720-721).
@@ -57,10 +58,11 @@ def bfs(g: Graph, root, max_iter: int | None = None,
 
     # Pull direction arrays: a node v joins the next frontier if one of its
     # in-neighbors (out-neighbors when reverse) is in the current frontier.
+    # Scatter-free: OR = exact integer segment-count > 0 (ops.scan_reduce).
     if reverse:
-        e_src, e_dst = g.node_idx, g.node_idx_src  # traverse edges backwards
+        e_src, offsets = g.node_idx, g.begin       # traverse edges backwards
     else:
-        e_src, e_dst = g.r_node_idx, g.r_node_idx_dst
+        e_src, offsets = g.r_node_idx, g.r_begin
 
     level0 = jnp.where(ids == root, 0, -1).astype(jnp.int32)
     level0 = jnp.where(node_mask, level0, -1)
@@ -68,9 +70,8 @@ def bfs(g: Graph, root, max_iter: int | None = None,
 
     def expand_pull(frontier, visited):
         """Bottom-up: segment-or over in-edges (ST_RD)."""
-        hit = ops.segment_max(
-            frontier[e_src].astype(jnp.int32), e_dst, n_pad,
-            sorted_ids=not reverse) > 0
+        vals = frontier[e_src].astype(jnp.int32)
+        hit = scan_reduce.segment_sum_by_offsets(vals, offsets, n_pad) > 0
         return hit & ~visited & node_mask
 
     def step(state):
@@ -90,6 +91,35 @@ def bfs(g: Graph, root, max_iter: int | None = None,
         step, not_done, state0, max_iter)
     return BfsResult(level=level, levels_run=stats.iterations,
                      reached=count)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bfs_many_sequential(g: Graph, roots: jax.Array,
+                        max_iter: int | None = None):
+    """Run full BFS from each of ``roots`` *sequentially on device* in one
+    compiled program; returns (total_levels, total_reached,
+    total_traversed_edges, last_level_array).
+
+    Exists for honest benchmarking over a high-latency host link: one
+    host round-trip amortized over ``len(roots)`` complete BFS runs
+    (the reference measures each binary run separately —
+    ``common_main.h:196-205`` — but has no 100ms dispatch tax).
+    """
+    if max_iter is None:
+        max_iter = g.num_nodes + 1
+    deg = g.out_degree().astype(jnp.int64)
+
+    def one(i, carry):
+        tot_lv, tot_reach, tot_trav, _ = carry
+        res = bfs(g, roots[i], max_iter=max_iter)
+        trav = jnp.sum(jnp.where(res.level >= 0, deg, 0))
+        return (tot_lv + res.levels_run, tot_reach + res.reached,
+                tot_trav + trav, res.level)
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int64),
+            jnp.zeros((g.n_pad,), jnp.int32))
+    return jax.lax.fori_loop(0, roots.shape[0], one, init)
 
 
 def level_masks(level: jax.Array, max_levels: int) -> jax.Array:

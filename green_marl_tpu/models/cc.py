@@ -41,10 +41,10 @@ def weak_cc(g: Graph, max_iter: int | None = None) -> CCResult:
     def step(state):
         comp, _ = state
         # min over in-neighbors and out-neighbors (undirected closure)
-        from_in = ops.segment_min(comp[g.r_node_idx], g.r_node_idx_dst,
-                                  n_pad, sorted_ids=True)
-        from_out = ops.segment_min(comp[g.node_idx], g.node_idx_src,
-                                   n_pad, sorted_ids=True)
+        from_in = ops.sorted_segment_reduce(
+            comp[g.r_node_idx], g.r_node_idx_dst, g.r_begin, n_pad, "min")
+        from_out = ops.sorted_segment_reduce(
+            comp[g.node_idx], g.node_idx_src, g.begin, n_pad, "min")
         new = jnp.minimum(comp, jnp.minimum(from_in, from_out))
         changed = jnp.any(new < comp)
         return new, changed

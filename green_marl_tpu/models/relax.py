@@ -59,8 +59,8 @@ def min_relax(g: Graph, root, edge_len: Optional[jax.Array] = None,
         src_upd = updated[g.r_node_idx]
         w = w_csc if w_csc is not None else jnp.ones((), dist_dtype)
         cand = jnp.where(src_upd, src_dist + w, inf)
-        best = ops.segment_min(cand, g.r_node_idx_dst, g.n_pad,
-                               sorted_ids=True)
+        best = ops.sorted_segment_reduce(cand, g.r_node_idx_dst,
+                                         g.r_begin, g.n_pad, "min")
         new_dist = jnp.minimum(dist, best)
         new_upd = new_dist < dist
         return new_dist, new_upd

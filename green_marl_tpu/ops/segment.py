@@ -40,6 +40,28 @@ def _seg(op, vals, ids, num_segments, sorted_ids):
               indices_are_sorted=sorted_ids)
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def sorted_segment_reduce(vals: jax.Array, ids: jax.Array,
+                          offsets: jax.Array, n_out: int,
+                          op: str) -> jax.Array:
+    """Segment reduction over *sorted* runs described by ``offsets``.
+
+    On TPU this routes to the Pallas segmented-scan kernel (XLA scatter
+    serializes on duplicate indices there); elsewhere to
+    ``jax.ops.segment_*`` which is fine on CPU.
+    """
+    if _on_tpu():
+        from . import pallas_kernels
+        return pallas_kernels.segment_reduce_sorted(
+            vals, ids, offsets, n_out, op=op)
+    fn = {"add": jax.ops.segment_sum, "min": jax.ops.segment_min,
+          "max": jax.ops.segment_max}[op]
+    return _seg(fn, vals, ids, n_out, True)
+
+
 def segment_sum(vals, ids, num_segments, sorted_ids=False):
     return _seg(jax.ops.segment_sum, vals, ids, num_segments, sorted_ids)
 
@@ -75,17 +97,20 @@ def in_nbr_sum(g: Graph, node_vals: jax.Array,
                combine: Optional[Callable] = None) -> jax.Array:
     """``Sum(w: t.InNbrs){ f(w) }`` for every t (e.g. pagerank.gm:12)."""
     vals = pull_edge_values(g, node_vals, edge_vals, combine)
-    return segment_sum(vals, g.r_node_idx_dst, g.n_pad, sorted_ids=True)
+    return sorted_segment_reduce(vals, g.r_node_idx_dst, g.r_begin,
+                                 g.n_pad, "add")
 
 
 def in_nbr_min(g: Graph, node_vals, edge_vals=None, combine=None):
     vals = pull_edge_values(g, node_vals, edge_vals, combine)
-    return segment_min(vals, g.r_node_idx_dst, g.n_pad, sorted_ids=True)
+    return sorted_segment_reduce(vals, g.r_node_idx_dst, g.r_begin,
+                                 g.n_pad, "min")
 
 
 def in_nbr_max(g: Graph, node_vals, edge_vals=None, combine=None):
     vals = pull_edge_values(g, node_vals, edge_vals, combine)
-    return segment_max(vals, g.r_node_idx_dst, g.n_pad, sorted_ids=True)
+    return sorted_segment_reduce(vals, g.r_node_idx_dst, g.r_begin,
+                                 g.n_pad, "max")
 
 
 def in_nbr_any(g: Graph, node_mask: jax.Array) -> jax.Array:
@@ -114,14 +139,14 @@ def out_nbr_sum(g: Graph, node_vals, edge_vals=None, combine=None):
     x = node_vals[g.node_idx]
     if edge_vals is not None:
         x = combine(x, edge_vals) if combine else x * edge_vals
-    return segment_sum(x, g.node_idx_src, g.n_pad, sorted_ids=True)
+    return sorted_segment_reduce(x, g.node_idx_src, g.begin, g.n_pad, "add")
 
 
 def out_nbr_min(g: Graph, node_vals, edge_vals=None, combine=None):
     x = node_vals[g.node_idx]
     if edge_vals is not None:
         x = combine(x, edge_vals) if combine else x * edge_vals
-    return segment_min(x, g.node_idx_src, g.n_pad, sorted_ids=True)
+    return sorted_segment_reduce(x, g.node_idx_src, g.begin, g.n_pad, "min")
 
 
 def scatter_min_to_dst(g: Graph, edge_vals_csr: jax.Array) -> jax.Array:

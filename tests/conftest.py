@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU platform with priority, so
+# the env var alone is not enough — override the flag before first use.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the suite is dominated by XLA compiles of
 # while-loop superstep programs; cache them across runs.
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
