@@ -1,0 +1,259 @@
+"""Default usermain: graph-in, run-procedure, results-out driver.
+
+Reimplements the reference generated-main runtime
+(``apps/output_cpp/gm_graph/src/gm_default_usermain.cc``,
+``inc/gm_default_usermain.h:43-57``): declarative schemas for properties
+and scalars, CLI flags, input/output format handling, phase timing, and
+the machine-parsable stdout protocol the verification harness consumes
+(``scripts/extract_result.py``):
+
+* ``<name>[i] = <value>`` per-element golden lines
+* ``number of triangles: <T>`` style scalar results
+* ``graph loading time=<ms>`` / ``reverse edge creation time=<ms>`` /
+  ``running time=<ms>`` (algorithm only; reference
+  ``common_main.h:160-205``)
+* ``CRC <array> 0x....`` per-output-array checksum lines (Shoal's CRC
+  report analog; see ``utils.crc``)
+
+Flags mirror ``-GMMeasureTime -GMNumThreads -GMInputFormat
+-GMOutputFormat -GMDumpGraph`` (``gm_default_usermain.cc:26-48``), with
+``-GMNumChips`` as the device-count analog of ``-GMNumThreads``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph import binary_io as bio
+from ..graph import edge_list as el
+from ..graph.csr import Graph, from_edges
+from ..utils.crc import array_checksum_hex, crc16_hex
+from .useropt import UserOpt
+
+GM_NODEPROP = "node"
+GM_EDGEPROP = "edge"
+GM_SCALAR = "scalar"
+
+_TYPE_NAMES = {
+    bio.GMTYPE_BOOL: bool, bio.GMTYPE_INT: int, bio.GMTYPE_LONG: int,
+    bio.GMTYPE_FLOAT: float, bio.GMTYPE_DOUBLE: float,
+    bio.GMTYPE_NODE: int, bio.GMTYPE_EDGE: int,
+}
+
+
+@dataclass
+class Schema:
+    name: str
+    type: int              # VALUE_TYPE
+    is_input: bool
+    is_output: bool
+    kind: str              # node/edge/scalar
+
+
+@dataclass
+class RunContext:
+    graph: Graph
+    csr_perm: np.ndarray
+    node_props: Dict[str, np.ndarray]
+    edge_props: Dict[str, np.ndarray]   # CSR slot order
+    scalars: Dict[str, Any]
+    nodekey: Optional[np.ndarray] = None
+
+
+class UserMain:
+    """Declarative app driver (one per algorithm).
+
+    Usage (mirrors generated mains, e.g. ``pagerank_main.cc``)::
+
+        m = UserMain("pagerank")
+        m.declare_scalar("max_iter", bio.GMTYPE_INT, True, False, default=100)
+        m.declare_property("pg_rank", bio.GMTYPE_DOUBLE, False, True,
+                           GM_NODEPROP)
+        m.set_run(run_fn)          # RunContext -> dict of outputs
+        m.main(argv)
+    """
+
+    def __init__(self, proc_name: str, desc: str = ""):
+        self.proc_name = proc_name
+        self.schemas: List[Schema] = []
+        self.defaults: Dict[str, Any] = {}
+        self.run_fn: Optional[Callable[[RunContext], Dict[str, Any]]] = None
+        self.post_fn: Optional[Callable] = None
+        self.O = UserOpt(proc_name, desc)
+        self.O.add_option("GMMeasureTime", bool, "0", "Measure running time")
+        self.O.add_option("GMInputFormat", str, "BIN",
+                          "ADJ|EDGE|BIN|EBIN")
+        self.O.add_option("GMOutputFormat", str, "NULL",
+                          "BIN|EBIN|EDGE|NODE_PROP|NULL")
+        self.O.add_option("GMNumChips", int, None,
+                          "Number of TPU chips (mesh size)")
+        self.O.add_option("GMNumThreads", int, None,
+                          "Accepted for reference-CLI compatibility")
+        self.O.add_option("GMDumpGraph", int, "0",
+                          "1: write output graph/props file")
+        self.O.add_option("GMDumpValues", int, "4",
+                          "How many leading output values to print")
+        self.O.add_argument("InputName", "Input graph filename")
+        self.O.add_argument("OutputName", "[optional] Output filename")
+
+    # -- declarations ----------------------------------------------------
+    def declare_scalar(self, name, t, is_input, is_output, default=None):
+        self.schemas.append(Schema(name, t, is_input, is_output, GM_SCALAR))
+        if default is not None:
+            self.defaults[name] = default
+        if is_input:
+            py_t = _TYPE_NAMES[t]
+            self.O.add_option(
+                name, py_t,
+                None if default is None else str(default), "input argument")
+
+    def declare_property(self, name, t, is_input, is_output, kind):
+        self.schemas.append(Schema(name, t, is_input, is_output, kind))
+
+    def set_run(self, fn):
+        self.run_fn = fn
+
+    # -- pipeline --------------------------------------------------------
+    def load(self) -> RunContext:
+        fmt = self.O.get_option("GMInputFormat").upper()
+        path = self.O.get_arg(0)
+        if path is None:
+            self.O.print_help()
+            raise SystemExit(1)
+        in_nprops = [s for s in self.schemas
+                     if s.kind == GM_NODEPROP and s.is_input]
+        in_eprops = [s for s in self.schemas
+                     if s.kind == GM_EDGEPROP and s.is_input]
+        nodekey = None
+        nprop_arrays: List[np.ndarray] = []
+        eprop_arrays: List[np.ndarray] = []
+        if fmt in ("BIN", "EBIN"):
+            raw = bio.load_binary(path)
+            g, perm = raw.freeze()
+            nodekey = raw.nodekey
+            nprop_arrays = raw.node_props
+            eprop_arrays = [p[perm] for p in raw.edge_props]
+        elif fmt == "EDGE":
+            res = el.load_edge_list(
+                path, [s.type for s in in_nprops],
+                [s.type for s in in_eprops])
+            g, eprop_arrays = res.freeze()
+            perm = None
+            nodekey = res.nodekey
+            nprop_arrays = res.node_props
+        elif fmt == "ADJ":
+            src, dst = el.load_adjacency_list(path)
+            g, perm = from_edges(src, dst)
+        else:
+            raise SystemExit(f"unknown input format {fmt}")
+        ctx = RunContext(graph=g,
+                         csr_perm=perm if perm is not None else
+                         np.arange(g.num_edges),
+                         node_props={}, edge_props={}, scalars={},
+                         nodekey=nodekey)
+        for s, arr in zip(in_nprops, nprop_arrays):
+            ctx.node_props[s.name] = arr
+        for s, arr in zip(in_eprops, eprop_arrays):
+            ctx.edge_props[s.name] = arr
+        for s in self.schemas:
+            if s.kind == GM_SCALAR and s.is_input:
+                v = self.O.get_option(s.name)
+                if v is None and s.name in self.defaults:
+                    v = self.defaults[s.name]
+                ctx.scalars[s.name] = v
+        return ctx
+
+    def main(self, argv: Optional[Sequence[str]] = None) -> int:
+        argv = list(sys.argv[1:] if argv is None else argv)
+        if not self.O.parse(argv):
+            return 1
+        t0 = time.time()
+        ctx = self.load()
+        t1 = time.time()
+        print(f"graph loading time={1000*(t1-t0):f}")
+        # reverse edges are built inside from_edges; report 0 separately
+        # to keep the stdout contract line present (common_main.h:181)
+        print(f"reverse edge creation time={0.0:f}")
+
+        assert self.run_fn is not None, "set_run() not called"
+        t2 = time.time()
+        outputs = self.run_fn(ctx)
+        t3 = time.time()
+        if self.O.get_option("GMMeasureTime"):
+            print(f"running time={1000*(t3-t2):f}")
+
+        self.report(ctx, outputs)
+        self.store(ctx, outputs)
+        return 0
+
+    # -- output protocol -------------------------------------------------
+    def report(self, ctx: RunContext, outputs: Dict[str, Any]) -> None:
+        k = self.O.get_option("GMDumpValues")
+        for s in self.schemas:
+            if not s.is_output and s.name != "return":
+                continue
+            val = outputs.get(s.name)
+            if val is None:
+                continue
+            if s.kind == GM_SCALAR:
+                print(f"{self.proc_name} returns: {_fmt(val, s.type)}"
+                      if s.name == "return"
+                      else f"{s.name} = {_fmt(val, s.type)}")
+            else:
+                arr = np.asarray(val)
+                n = (ctx.graph.num_nodes if s.kind == GM_NODEPROP
+                     else ctx.graph.num_edges)
+                arr = arr[:n]
+                for i in range(min(k, n)):
+                    print(f"{s.name}[{i}] = {_fmt(arr[i], s.type)}")
+                print(f"CRC {s.name} {array_checksum_hex(arr)}")
+
+    def store(self, ctx: RunContext, outputs: Dict[str, Any]) -> None:
+        if not self.O.get_option("GMDumpGraph"):
+            return
+        out = self.O.get_arg(1)
+        if out is None:
+            return
+        fmt = self.O.get_option("GMOutputFormat").upper()
+        g = ctx.graph
+        begin = np.asarray(g.begin)
+        node_idx = np.asarray(g.node_idx)[: g.num_edges]
+        out_nprops = [np.asarray(outputs[s.name])[: g.num_nodes]
+                      for s in self.schemas
+                      if s.kind == GM_NODEPROP and s.is_output
+                      and s.name in outputs]
+        out_eprops = [np.asarray(outputs[s.name])[: g.num_edges]
+                      for s in self.schemas
+                      if s.kind == GM_EDGEPROP and s.is_output
+                      and s.name in outputs]
+        if fmt in ("BIN", "NULL"):
+            bio.store_binary(out, begin, node_idx)
+        elif fmt == "EBIN":
+            bio.store_binary(out, begin, node_idx, nodekey=ctx.nodekey,
+                             node_props=out_nprops, edge_props=out_eprops)
+        elif fmt == "EDGE":
+            deg = np.diff(begin)
+            src = np.repeat(np.arange(g.num_nodes), deg)
+            el.store_edge_list(out, src, node_idx, nodekey=ctx.nodekey,
+                               node_props=out_nprops,
+                               edge_props=out_eprops)
+        elif fmt == "NODE_PROP":
+            with open(out, "w") as f:
+                for i in range(g.num_nodes):
+                    row = " ".join(str(p[i]) for p in out_nprops)
+                    f.write(f"{i} {row}\n")
+        else:
+            raise SystemExit(f"unknown output format {fmt}")
+
+
+def _fmt(v, t) -> str:
+    if t in (bio.GMTYPE_FLOAT, bio.GMTYPE_DOUBLE):
+        return f"{float(v):0.9f}"   # reference: printf("%0.9lf")
+    if t == bio.GMTYPE_BOOL:
+        return "true" if v else "false"
+    return str(int(v))
