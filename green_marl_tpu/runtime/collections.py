@@ -1,0 +1,139 @@
+"""Device-friendly collection types (reference ``gm_graph`` collections).
+
+Parity map (``apps/output_cpp/gm_graph/inc``, SURVEY.md §2.8):
+
+=====================  ====================================================
+reference              here
+=====================  ====================================================
+``gm_sized_set``       ``NodeSet`` — bitmap over the padded node space
+                       (the reference is also bitmap-backed, gm_set.h:8)
+``gm_seq``             ``NodeSeq`` — fixed-capacity ring with count
+                       (static shapes: capacity is a trace-time constant)
+``gm_order``           ``NodeOrder`` — NodeSeq with uniqueness bitmap
+``gm_map_small/...``   ``node_keyed_*`` helpers — maps keyed by node id
+                       are dense arrays; the small/medium/large
+                       implementation split is an XLA non-issue
+``gm_mutatable_priority_map``  no device equivalent — the Dijkstra-class
+                       algorithms are reformulated (models.delta_stepping)
+=====================  ====================================================
+
+All structures are immutable pytrees; mutating verbs return new values
+(functional updates compile to in-place buffer donation under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NodeSet:
+    """Bitmap node set (``gm_sized_set``)."""
+    bits: jax.Array   # [N_pad] bool
+
+    @staticmethod
+    def empty(n_pad: int) -> "NodeSet":
+        return NodeSet(bits=jnp.zeros((n_pad,), jnp.bool_))
+
+    def add(self, v) -> "NodeSet":
+        return NodeSet(self.bits.at[v].set(True))
+
+    def add_mask(self, mask: jax.Array) -> "NodeSet":
+        return NodeSet(self.bits | mask)
+
+    def remove(self, v) -> "NodeSet":
+        return NodeSet(self.bits.at[v].set(False))
+
+    def has(self, v) -> jax.Array:
+        return self.bits[v]
+
+    def size(self) -> jax.Array:
+        return jnp.sum(self.bits.astype(jnp.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NodeSeq:
+    """Fixed-capacity sequence (``gm_seq``): supports push front/back.
+
+    Stored as a ring buffer; ``head`` is the index of the front element.
+    Overflow beyond capacity is an error the caller must preclude (the
+    reference grows dynamically; device shapes are static, so capacity is
+    declared up front — typically N).
+    """
+    buf: jax.Array     # [cap] node ids
+    head: jax.Array    # int32
+    count: jax.Array   # int32
+
+    @staticmethod
+    def empty(cap: int, dtype=jnp.int32) -> "NodeSeq":
+        return NodeSeq(buf=jnp.full((cap,), -1, dtype),
+                       head=jnp.zeros((), jnp.int32),
+                       count=jnp.zeros((), jnp.int32))
+
+    @property
+    def capacity(self) -> int:
+        return int(self.buf.shape[0])
+
+    def push_back(self, v) -> "NodeSeq":
+        pos = (self.head + self.count) % self.capacity
+        return NodeSeq(self.buf.at[pos].set(v), self.head, self.count + 1)
+
+    def push_front(self, v) -> "NodeSeq":
+        pos = (self.head - 1) % self.capacity
+        return NodeSeq(self.buf.at[pos].set(v), pos, self.count + 1)
+
+    def items(self) -> jax.Array:
+        """[cap] ids in order, -1 beyond ``count``."""
+        idx = (self.head + jnp.arange(self.capacity)) % self.capacity
+        vals = self.buf[idx]
+        return jnp.where(jnp.arange(self.capacity) < self.count, vals, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NodeOrder:
+    """Sequence with uniqueness (``gm_order``)."""
+    seq: NodeSeq
+    member: jax.Array  # [N_pad] bool
+
+    @staticmethod
+    def empty(cap: int, n_pad: int) -> "NodeOrder":
+        # one extra trash slot so duplicate pushes write nowhere visible
+        return NodeOrder(NodeSeq.empty(cap + 1),
+                         jnp.zeros((n_pad,), jnp.bool_))
+
+    def push_back(self, v) -> "NodeOrder":
+        fresh = ~self.member[v]
+        cap = self.seq.capacity
+        pos = jnp.where(fresh,
+                        (self.seq.head + self.seq.count) % cap, cap - 1)
+        seq = NodeSeq(self.seq.buf.at[pos].set(v), self.seq.head,
+                      self.seq.count + fresh.astype(jnp.int32))
+        return NodeOrder(seq, self.member.at[v].set(True))
+
+    def has(self, v) -> jax.Array:
+        return self.member[v]
+
+
+# -- node-keyed maps are dense property arrays ------------------------------
+
+def node_keyed_counts(keys: jax.Array, n_pad: int) -> jax.Array:
+    """``Map<Node, Int>`` histogram: count occurrences of each key."""
+    return jax.ops.segment_sum(jnp.ones_like(keys, jnp.int32), keys,
+                               num_segments=n_pad)
+
+
+def map_max_key(values: jax.Array, valid: jax.Array) -> jax.Array:
+    """``GetMaxKey()``: smallest key among maximal values (deterministic
+    tie-break; the reference's hash-map iteration order is unspecified)."""
+    n = values.shape[0]
+    neg = jnp.where(valid, values, jnp.iinfo(jnp.int32).min)
+    m = jnp.max(neg)
+    first = jnp.argmax(neg == m)
+    return first.astype(jnp.int32), m
