@@ -108,8 +108,7 @@ def test_parse_foreign():
 
 @pytest.mark.parametrize("subdir", [
     "apps/src", "test/parse", "test/sugars", "test/opt", "test/cpp_be",
-    "test/rw_check", "test/gps", "test/giraph/giraph_errors",
-    "test/errors"])
+    "test/rw_check", "test/gps", "test/errors"])
 def test_reference_corpus_parses(subdir):
     files = sorted(glob.glob(f"{REF}/{subdir}/*.gm"))
     assert files, subdir
