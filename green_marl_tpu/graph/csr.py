@@ -170,22 +170,34 @@ def from_edges(
 
     e_pad = round_up(max(E, 1))
 
-    # CSR: sort by (src, dst) — semi-sorted rows for free.
-    csr_perm = np.lexsort((dst, src)).astype(edge_dtype)
-    csr_src = src[csr_perm]
-    csr_dst = dst[csr_perm]
-    begin = np.zeros(N + 1, dtype=edge_dtype)
-    np.cumsum(np.bincount(src, minlength=N), out=begin[1:], dtype=edge_dtype)
+    native_built = None
+    if E and np.dtype(node_dtype) == np.int32 and \
+            np.dtype(edge_dtype) == np.int32:
+        from . import native as _native
+        if _native.available():
+            native_built = _native.build_csr(src, dst, N)
+    if native_built is not None:
+        (begin, csr_dst, csr_src, csr_perm, r_begin, csc_src, csc_dst,
+         e_rev2idx) = native_built
+    else:
+        # CSR: sort by (src, dst) — semi-sorted rows for free.
+        csr_perm = np.lexsort((dst, src)).astype(edge_dtype)
+        csr_src = src[csr_perm]
+        csr_dst = dst[csr_perm]
+        begin = np.zeros(N + 1, dtype=edge_dtype)
+        np.cumsum(np.bincount(src, minlength=N), out=begin[1:],
+                  dtype=edge_dtype)
 
-    # CSC: sort by (dst, src); e_rev2idx maps CSC slot -> CSR slot.
-    csc_of_input = np.lexsort((src, dst)).astype(edge_dtype)
-    csc_src = src[csc_of_input]
-    csc_dst = dst[csc_of_input]
-    r_begin = np.zeros(N + 1, dtype=edge_dtype)
-    np.cumsum(np.bincount(dst, minlength=N), out=r_begin[1:], dtype=edge_dtype)
-    input_to_csr = np.empty(E, dtype=edge_dtype)
-    input_to_csr[csr_perm] = np.arange(E, dtype=edge_dtype)
-    e_rev2idx = input_to_csr[csc_of_input]
+        # CSC: sort by (dst, src); e_rev2idx maps CSC slot -> CSR slot.
+        csc_of_input = np.lexsort((src, dst)).astype(edge_dtype)
+        csc_src = src[csc_of_input]
+        csc_dst = dst[csc_of_input]
+        r_begin = np.zeros(N + 1, dtype=edge_dtype)
+        np.cumsum(np.bincount(dst, minlength=N), out=r_begin[1:],
+                  dtype=edge_dtype)
+        input_to_csr = np.empty(E, dtype=edge_dtype)
+        input_to_csr[csr_perm] = np.arange(E, dtype=edge_dtype)
+        e_rev2idx = input_to_csr[csc_of_input]
 
     sent = np.dtype(node_dtype).type(N)
 

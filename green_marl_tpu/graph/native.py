@@ -1,0 +1,121 @@
+"""ctypes bindings for the native host runtime (``native/gm_io.cc``).
+
+The reference's graph runtime is C++ (``apps/output_cpp/gm_graph``); here
+the device compute path is JAX/Pallas but the host-side heavy lifting —
+CSR/CSC freeze with semi-sort and reverse edges, edge-list text parsing,
+RMAT generation — has a native OpenMP implementation, auto-built on first
+use (``make -C native``) with a transparent numpy fallback when no
+toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libgmtpu_io.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.gm_build_csr.restype = ctypes.c_int
+    lib.gm_build_csr.argtypes = [i32p, i32p, ctypes.c_int64,
+                                 ctypes.c_int32] + [i32p] * 8
+    lib.gm_parse_edge_list.restype = ctypes.c_int64
+    lib.gm_parse_edge_list.argtypes = [ctypes.c_char_p, i32p, i32p,
+                                       ctypes.c_int64, ctypes.c_int32]
+    lib.gm_rmat_edges.restype = None
+    lib.gm_rmat_edges.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_uint64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32, i32p, i32p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def build_csr(src: np.ndarray, dst: np.ndarray, n: int):
+    """Native CSR+CSC build; returns the 8 arrays of ``csr.from_edges``'s
+    core or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    e = src.shape[0]
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    begin = np.empty(n + 1, np.int32)
+    csr_dst = np.empty(e, np.int32)
+    csr_src = np.empty(e, np.int32)
+    csr_perm = np.empty(e, np.int32)
+    r_begin = np.empty(n + 1, np.int32)
+    csc_src = np.empty(e, np.int32)
+    csc_dst = np.empty(e, np.int32)
+    e_rev2idx = np.empty(e, np.int32)
+    rc = lib.gm_build_csr(_ptr(src), _ptr(dst), e, n, _ptr(begin),
+                          _ptr(csr_dst), _ptr(csr_src), _ptr(csr_perm),
+                          _ptr(r_begin), _ptr(csc_src), _ptr(csc_dst),
+                          _ptr(e_rev2idx))
+    if rc != 0:
+        raise ValueError("edge endpoint out of range")
+    return (begin, csr_dst, csr_src, csr_perm, r_begin, csc_src,
+            csc_dst, e_rev2idx)
+
+
+def parse_edge_list(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.gm_parse_edge_list(path.encode(), None, None, 0, 1)
+    if n < 0:
+        raise ValueError(f"cannot parse {path}")
+    src = np.empty(n, np.int32)
+    dst = np.empty(n, np.int32)
+    n2 = lib.gm_parse_edge_list(path.encode(), _ptr(src), _ptr(dst), n, 0)
+    assert n2 == n
+    return src, dst
+
+
+def rmat_edges(n: int, m: int, seed: int = 0, a: float = 0.45,
+               b: float = 0.22, c: float = 0.22,
+               permute: bool = True
+               ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parallel native RMAT (~20x the numpy generator's speed).  Stream
+    differs from the numpy generator; both are deterministic per seed."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.empty(m, np.int32)
+    dst = np.empty(m, np.int32)
+    lib.gm_rmat_edges(n, m, seed, a, b, c, int(permute), _ptr(src),
+                      _ptr(dst))
+    return src, dst

@@ -199,3 +199,102 @@ def segment_reduce_sorted(vals: jax.Array, ids: jax.Array,
     if pad:
         out = jnp.pad(out, (0, pad), constant_values=ident)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Plain prefix sum (cumsum) — MXU triangular matmuls, two-pass parallel
+# ---------------------------------------------------------------------------
+#
+# XLA's cumsum lowering collapses at scale on TPU (measured 4.1 s for 69M
+# int32), and a single-pass sequential-carry kernel serializes on the
+# cross-chunk dependency (~36 us/chunk of latency).  This version is the
+# classic two-pass scan: pass 1 reduces each chunk to its total (parallel
+# grid, fully pipelined), the tiny total array is prefix-summed in XLA,
+# and pass 2 recomputes chunk-local prefixes on the MXU and adds the
+# chunk base — no inter-chunk dependency anywhere.
+#
+# Integer inputs stay exact: the f32 matmul only sees chunk-local sums
+# (< 2^24 for 0/1 indicators); bases are added in the integer domain and
+# may wrap mod 2^32, keeping offset *differences* exact.
+
+CS_SUBS = 512
+CS_CHUNK = CS_SUBS * LANES
+
+
+def _cumsum_local_kernel(base_ref, v_ref, out_ref, *, is_int: bool):
+    v = v_ref[:]
+    vf = v.astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    upper = (lane <= lane2).astype(jnp.float32)          # [128,128]
+    p = jnp.dot(vf, upper, preferred_element_type=jnp.float32)
+
+    # cross-row prefix: row totals -> grouped triangular matmul
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (CS_SUBS, LANES), 1)
+    t = jnp.sum(jnp.where(lane_ix == LANES - 1, p, 0.0), axis=1,
+                keepdims=True)                           # [SUBS,1]
+    g = CS_SUBS // LANES
+    t2 = t.reshape(g, LANES)                             # groups of 128 rows
+    strict = (lane < lane2).astype(jnp.float32)
+    tp = jnp.dot(t2, strict, preferred_element_type=jnp.float32)
+    # group bases: exclusive prefix of group totals (g is tiny)
+    gt = jnp.sum(t2, axis=1, keepdims=True)              # [g,1]
+    grow = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    grow2 = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    glow = (grow2 < grow).astype(jnp.float32)
+    gbase = jnp.dot(glow, gt, preferred_element_type=jnp.float32)  # [g,1]
+    row_base = (tp + gbase).reshape(CS_SUBS, 1)
+
+    local = p + row_base
+    b = base_ref[pl.program_id(0)]
+    if is_int:
+        out_ref[:] = local.astype(v.dtype) + b
+    else:
+        out_ref[:] = local + b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def plain_cumsum(vals: jax.Array,
+                 interpret: Optional[bool] = None) -> jax.Array:
+    """Inclusive prefix sum of a 1-D array at HBM bandwidth.
+
+    Exact for int32 inputs whose chunk-local sums stay below 2^24 (always
+    true for 0/1 edge indicators; the global prefix may wrap mod 2^32,
+    which keeps offset differences exact).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = vals.shape[0]
+    n_tot = ((n + CS_CHUNK - 1) // CS_CHUNK) * CS_CHUNK
+    v = vals
+    if n_tot != n:
+        v = jnp.pad(v, (0, n_tot - n))
+    is_int = jnp.issubdtype(v.dtype, jnp.integer)
+    v2 = v.reshape(-1, LANES)
+    n_chunks = v2.shape[0] // CS_SUBS
+
+    # chunk totals + exclusive bases (plain XLA reduction — fast; only the
+    # *scan* lowering is pathological in XLA, reductions are fine)
+    totals = v.reshape(n_chunks, CS_CHUNK).sum(axis=1)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), v.dtype), jnp.cumsum(totals[:-1])])
+
+    kernel = functools.partial(_cumsum_local_kernel, is_int=is_int)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((CS_SUBS, LANES), lambda i, b: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((CS_SUBS, LANES), lambda i, b: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(v2.shape, v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(base, v2)
+    return out.reshape(n_tot)[:n]
