@@ -54,6 +54,11 @@ def sorted_segment_reduce(vals: jax.Array, ids: jax.Array,
     ``jax.ops.segment_*`` which is fine on CPU.
     """
     if _on_tpu():
+        if op == "add" and jnp.issubdtype(vals.dtype, jnp.integer):
+            # exact + bandwidth-speed: plain prefix (mod 2^32) + offset
+            # diffs; float sums stay on the segmented kernel (precision)
+            from . import scan_reduce
+            return scan_reduce.segment_sum_by_offsets(vals, offsets, n_out)
         from . import pallas_kernels
         return pallas_kernels.segment_reduce_sorted(
             vals, ids, offsets, n_out, op=op)
