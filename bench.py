@@ -79,16 +79,32 @@ def main():
 
     def run():
         lv, reach, trav, level = m_bfs.bfs_many_sequential(g, roots_j)
-        return int(lv), int(reach), int(trav)  # fetch = true sync
+        # ONE device array -> one sync, no bulk transfer
+        return jnp.stack([jnp.asarray(lv, jnp.int32),
+                          jnp.asarray(reach, jnp.int32),
+                          jnp.asarray(trav, jnp.int32)])
 
-    lv, reach, trav = run()            # warmup + compile
-    base = fetch_baseline()
+    stats = run()                      # warmup + compile
+    stats.block_until_ready()
+    # sync floor: round-trip latency of an empty dispatch+wait (the axon
+    # tunnel costs ~100ms/sync; subtract its median so the timed region
+    # reflects device time)
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        jnp.zeros((3,), jnp.int32).block_until_ready()
+        floors.append(time.time() - t0)
+    floor = float(np.median(floors))
     times = []
     for _ in range(3):
         t0 = time.time()
-        lv, reach, trav = run()
-        times.append(time.time() - t0 - 3 * base)
-    dt = float(np.median(times))
+        run().block_until_ready()
+        times.append(time.time() - t0)
+    raw = float(np.median(times))
+    dt = max(raw - floor, 1e-9)
+    print(f"# raw={raw*1000:.1f}ms sync_floor={floor*1000:.1f}ms",
+          file=sys.stderr)
+    lv, reach, trav = (int(x) for x in np.asarray(stats))
     gteps = trav / dt / 1e9
     print(f"# roots={n_roots} total_levels={lv} total_reached={reach} "
           f"traversed={trav} time={dt*1000:.1f}ms "

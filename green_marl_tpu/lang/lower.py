@@ -1,0 +1,1233 @@
+"""Lowering: typechecked Green-Marl AST -> jitted JAX array program.
+
+This is the TPU-native replacement for the reference's entire back half —
+the backend-independent optimizer (``src/opt/``) and the C++/OpenMP code
+generator (``src/backend_cpp/gm_cpp_gen.cc``).  Instead of emitting C++
+source with ``#pragma omp parallel for`` over CSR ranges and atomic/lock
+reductions, we *vectorize* the AST directly into JAX:
+
+==========================  =================================================
+reference construct          TPU lowering
+==========================  =================================================
+``Foreach(n: G.Nodes)``      masked dense ops over the padded node axis
+                             (``gm_cpp_gen.cc:1021-1072`` OpenMP loop)
+``Foreach(s: n.Nbrs)`` +     gather over CSR/CSC slots + fixed-order segment
+reduction                    reduction (``gm_cpp_gen_foreach.cc:33-328`` +
+                             atomics ``gm_cpp_gen.cc:1526-1561``)
+``x min= v @ n`` / argminmax scatter-free ``segment_min`` + win-mask payload
+                             select (spinlock argmin ``gm_cpp_gen.cc:
+                             1563-1742``)
+``t.p <= v @ t`` (defer)     pending write applied at loop exit — the
+                             double-buffering the defer opt creates
+                             (``gm_cpp_opt_defer.cc``)
+``Do/While``                 ``lax.while_loop`` whose carry is the statically
+                             computed write-set of the body (reaching-defs
+                             equivalent, ``gm_reaching_def_analysis.cc``)
+``If`` (scalar)              both branches traced + ``where`` merge
+``If`` (inside Foreach)      mask refinement
+reductions ``Sum/Min/...``   masked ``jnp``/segment reductions — determinism
+                             by construction (no race oracle needed at run
+                             time; cf. ``gm_rw_analysis.cc``)
+==========================  =================================================
+
+Parallelism policy mirrors ``gm_cpp_opt_select_par.cc:27-108``: the
+outermost node/edge loop is the parallel (vectorized) one; nested neighbor
+loops become the per-segment axis of a segment reduction.  Sequential
+``For`` over nodes is lowered the same way when every statement in its body
+is order-independent (a reduction or a disjoint write); order-dependent
+sequential loops raise ``LowerError`` (the reference backend's
+``check_feasible`` analog, ``gm_cpp_opt_check_feasible.cc``).
+
+dtype mapping (TPU-native): INT/LONG -> int32, FLOAT/DOUBLE -> float32
+(float64 if jax x64 is enabled), BOOL -> bool, NODE/EDGE -> int32.
+``INF`` follows the reference's saturation semantics (INT_MAX etc.,
+``gm_main.cc`` / ``gm_defs.h``): coercion clamps infinities to the integer
+dtype's extrema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gm_ast as A
+from .typecheck import typecheck
+from ..graph.csr import Graph
+from ..ops import segment as ops
+
+
+class LowerError(Exception):
+    """Construct outside the lowerable subset (cf. check_feasible)."""
+
+
+# --------------------------------------------------------------------------
+# dtype machinery
+# --------------------------------------------------------------------------
+
+def _float_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def dtype_of_kind(kind: str):
+    if kind in ("INT", "LONG", "NODE", "EDGE"):
+        return jnp.int32
+    if kind in ("FLOAT", "DOUBLE"):
+        return _float_dtype()
+    if kind == "BOOL":
+        return jnp.bool_
+    raise LowerError(f"no dtype for type kind {kind}")
+
+
+def _coerce(val, dtype):
+    """Cast honoring the reference's INF saturation: +/-inf -> int extrema."""
+    val = jnp.asarray(val)
+    if jnp.issubdtype(dtype, jnp.integer) and jnp.issubdtype(
+            val.dtype, jnp.floating):
+        info = jnp.iinfo(dtype)
+        val = jnp.where(jnp.isposinf(val), float(info.max), val)
+        val = jnp.where(jnp.isneginf(val), float(info.min), val)
+    return val.astype(dtype)
+
+
+def _identity(op: str, dtype):
+    """Reduction identity (reference GM_REDUCE_* defaults)."""
+    if op in ("SUM", "COUNT", "AVG"):
+        return jnp.zeros((), dtype)
+    if op == "MULT":
+        return jnp.ones((), dtype)
+    if op == "MIN":
+        if jnp.issubdtype(dtype, jnp.integer):
+            return jnp.asarray(jnp.iinfo(dtype).max, dtype)
+        return jnp.asarray(jnp.inf, dtype)
+    if op == "MAX":
+        if jnp.issubdtype(dtype, jnp.integer):
+            return jnp.asarray(jnp.iinfo(dtype).min, dtype)
+        return jnp.asarray(-jnp.inf, dtype)
+    if op in ("AND", "ALL"):
+        return jnp.asarray(True)
+    if op in ("OR", "EXIST"):
+        return jnp.asarray(False)
+    raise LowerError(f"no identity for reduce op {op}")
+
+
+def _combine(op: str, a, b):
+    if op == "SUM":
+        return a + b
+    if op == "MULT":
+        return a * b
+    if op == "MIN":
+        return jnp.minimum(a, b)
+    if op == "MAX":
+        return jnp.maximum(a, b)
+    if op in ("AND", "ALL"):
+        return a & b
+    if op in ("OR", "EXIST"):
+        return a | b
+    raise LowerError(f"no combiner for reduce op {op}")
+
+
+_SEG_OP = {"SUM": "add", "COUNT": "add", "AVG": "add",
+           "MIN": "min", "MAX": "max"}
+
+
+# --------------------------------------------------------------------------
+# Vector contexts
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class NodeCtx:
+    """Body of a node-parallel Foreach: values are [N_pad] vectors."""
+    g: Graph
+    var: str                      # iteration variable ("" for group assign)
+    ids: jax.Array                # [N_pad] iota
+    mask: jax.Array               # [N_pad] bool (node_mask & filters)
+    aliases: Tuple[str, ...] = ()  # names that also mean `ids` (graph name
+    #                               in group-assign expansion, gm_expand_
+    #                               group_assignment.cc)
+    locals: Set[str] = dataclasses.field(default_factory=set)
+
+    kind = "node"
+
+    def with_mask(self, m):
+        return dataclasses.replace(self, mask=m)
+
+
+@dataclasses.dataclass
+class EdgeCtx:
+    """Nested neighbor loop: values are [E_pad] per-slot vectors."""
+    g: Graph
+    layout: str                   # "csr" (Nbrs/Edges) | "csc" (InNbrs)
+    outer_var: str                # the node whose neighborhood is iterated
+    inner_var: str                # the loop variable (neighbor or edge)
+    outer_ids: jax.Array          # [E_pad]
+    inner_ids: jax.Array          # [E_pad]
+    mask: jax.Array               # [E_pad]
+    parent: Optional[NodeCtx]
+    inner_is_edge: bool = False   # Foreach(e: G.Edges)
+    locals: Set[str] = dataclasses.field(default_factory=set)
+
+    kind = "edge"
+
+    def with_mask(self, m):
+        return dataclasses.replace(self, mask=m)
+
+    def slots(self):
+        """CSR slot id per context slot (edge property index)."""
+        if self.layout == "csr":
+            return jnp.arange(self.g.e_pad, dtype=jnp.int32)
+        return self.g.e_rev2idx
+
+
+_F = "F$"          # env-key prefix for properties (separate namespace,
+#                    mirroring curr_sym/curr_field symtab split)
+_RET = "__ret__"
+_DONE = "__done__"
+
+
+# --------------------------------------------------------------------------
+# Static write-set / decl-set analysis (while-loop carry discovery)
+# --------------------------------------------------------------------------
+
+def _lhs_key(lhs) -> str:
+    if isinstance(lhs, A.Ident):
+        return lhs.name
+    if isinstance(lhs, A.Field):
+        return _F + lhs.prop
+    raise LowerError(f"unsupported assignment target {type(lhs).__name__}")
+
+
+def written_keys(stmt) -> Set[str]:
+    out: Set[str] = set()
+
+    def walk(s):
+        if s is None:
+            return
+        if isinstance(s, A.Block):
+            for x in s.stmts:
+                walk(x)
+        elif isinstance(s, (A.Assign, A.ReduceAssign, A.DeferAssign)):
+            out.add(_lhs_key(s.lhs))
+        elif isinstance(s, A.ArgMinMaxAssign):
+            out.add(_lhs_key(s.lhs))
+            for e in s.lhs_extra:
+                out.add(_lhs_key(e))
+        elif isinstance(s, A.VarDecl):
+            pass
+        elif isinstance(s, A.Foreach):
+            walk(s.body)
+        elif isinstance(s, A.If):
+            walk(s.then)
+            walk(s.els)
+        elif isinstance(s, A.While):
+            walk(s.body)
+        elif isinstance(s, A.BFS):
+            walk(s.body_fw)
+            walk(s.body_bw)
+        elif isinstance(s, A.Return):
+            out.add(_RET)
+            out.add(_DONE)
+        elif isinstance(s, (A.CallStmt, A.ForeignStmt)):
+            pass
+        else:
+            raise LowerError(f"unknown statement {type(s).__name__}")
+
+    walk(stmt)
+    return out
+
+
+def declared_keys(stmt) -> Set[str]:
+    out: Set[str] = set()
+
+    def walk(s):
+        if s is None:
+            return
+        if isinstance(s, A.Block):
+            for x in s.stmts:
+                walk(x)
+        elif isinstance(s, A.VarDecl):
+            for n in s.names:
+                out.add(_F + n if s.type.is_property() else n)
+        elif isinstance(s, A.Foreach):
+            walk(s.body)
+        elif isinstance(s, A.If):
+            walk(s.then)
+            walk(s.els)
+        elif isinstance(s, A.While):
+            walk(s.body)
+        elif isinstance(s, A.BFS):
+            walk(s.body_fw)
+            walk(s.body_bw)
+
+    walk(stmt)
+    return out
+
+
+# --------------------------------------------------------------------------
+# The lowerer
+# --------------------------------------------------------------------------
+
+class Lowerer:
+    def __init__(self, proc: A.Procedure, g: Graph):
+        self.proc = proc
+        self.g = g
+        self.graphs: Set[str] = set()
+        # property registry: name -> ("N"|"E", dtype)
+        self.props: Dict[str, Tuple[str, object]] = {}
+        self.scalar_dtypes: Dict[str, object] = {}
+        for decl in list(proc.args) + list(proc.out_args):
+            for name in decl.names:
+                t = decl.type
+                if t.kind == "GRAPH":
+                    self.graphs.add(name)
+                elif t.is_property():
+                    self.props[name] = (
+                        "N" if t.kind == "NODEPROP" else "E",
+                        dtype_of_kind(t.elem.kind))
+                elif t.is_collection() or t.kind == "MAP":
+                    raise LowerError(
+                        f"collection/map argument {name} not lowerable yet")
+                else:
+                    self.scalar_dtypes[name] = dtype_of_kind(t.kind)
+        # deferred writes: stack of lists keyed by binding iterator
+        self._defer_stack: List[Tuple[str, list]] = []
+        # active BFS replay: (var, level_array, current_depth)
+        self._bfs_ctx: Optional[Tuple[str, jax.Array, int]] = None
+
+    # ---- entry ------------------------------------------------------------
+    def run(self, env: Dict) -> Dict:
+        self.exec_stmt(self.proc.body, env, None)
+        return env
+
+    # ---- env write with return-guard --------------------------------------
+    def _wr(self, env, key, val):
+        done = env.get(_DONE)
+        if done is not None and isinstance(done, jax.Array) and key in env:
+            old = env[key]
+            val = jnp.where(done, old, val)
+        env[key] = val
+
+    # ---- identifier/vector resolution --------------------------------------
+    def _ident(self, name: str, env, ctx):
+        if ctx is not None:
+            if ctx.kind == "node":
+                if name == ctx.var or name in ctx.aliases:
+                    return ctx.ids
+            else:
+                if name == ctx.inner_var:
+                    return ctx.inner_ids
+                if name == ctx.outer_var:
+                    return ctx.outer_ids
+                if ctx.parent is not None and (
+                        name == ctx.parent.var or name in ctx.parent.aliases):
+                    return ctx.outer_ids
+        if name not in env:
+            raise LowerError(f"unbound symbol {name}")
+        v = env[name]
+        # parent-node-ctx local vector read from edge ctx: gather at the
+        # outer endpoint
+        if (ctx is not None and ctx.kind == "edge"
+                and isinstance(v, jax.Array)
+                and v.ndim == 1 and v.shape[0] == self.g.n_pad):
+            return v[ctx.outer_ids]
+        return v
+
+    def _prop(self, env, name):
+        key = _F + name
+        if key not in env:
+            raise LowerError(f"unbound property {name}")
+        return env[key]
+
+    def _field_read(self, f: A.Field, env, ctx):
+        arr = self._prop(env, f.prop)
+        loc, _dt = self.props[f.prop]
+        ids = self._ident(f.driver, env, ctx)
+        if ids is None:
+            raise LowerError(f"cannot resolve driver {f.driver}")
+        if loc == "E" and ctx is not None and ctx.kind == "edge" and (
+                f.driver == ctx.inner_var and not ctx.inner_is_edge):
+            raise LowerError(
+                f"edge property {f.prop} accessed via node var {f.driver}")
+        return arr[ids]
+
+    # ---- expression evaluation ---------------------------------------------
+    def eval(self, e: A.Expr, env, ctx):
+        if isinstance(e, A.Const):
+            if e.ctype == "INF":
+                sign = e.value if e.value in (1, -1) else 1
+                return jnp.asarray(sign * jnp.inf, _float_dtype())
+            if e.ctype == "NIL":
+                return jnp.asarray(-1, jnp.int32)
+            if e.ctype == "BOOL":
+                return jnp.asarray(bool(e.value))
+            if e.ctype == "FLOAT":
+                return jnp.asarray(float(e.value), _float_dtype())
+            return jnp.asarray(int(e.value), jnp.int32)
+        if isinstance(e, A.Ident):
+            return self._ident(e.name, env, ctx)
+        if isinstance(e, A.Field):
+            return self._field_read(e, env, ctx)
+        if isinstance(e, A.UnOp):
+            v = self.eval(e.operand, env, ctx)
+            if e.op == "NEG":
+                return -v
+            if e.op == "NOT":
+                return ~v if v.dtype == jnp.bool_ else jnp.logical_not(v)
+            if e.op == "ABS":
+                return jnp.abs(v)
+            raise LowerError(f"unary op {e.op}")
+        if isinstance(e, A.Cast):
+            v = self.eval(e.operand, env, ctx)
+            return _coerce(v, dtype_of_kind(e.to.kind))
+        if isinstance(e, A.BinOp):
+            return self._binop(e, env, ctx)
+        if isinstance(e, A.Ternary):
+            c = self.eval(e.cond, env, ctx)
+            a = self.eval(e.then, env, ctx)
+            b = self.eval(e.els, env, ctx)
+            a, b = self._unify(a, b)
+            return jnp.where(c, a, b)
+        if isinstance(e, A.Builtin):
+            return self._builtin(e, env, ctx)
+        if isinstance(e, A.ReduceExpr):
+            return self._reduce_expr(e, env, ctx)
+        if isinstance(e, A.Foreign):
+            raise LowerError("foreign C++ escapes are not lowerable")
+        raise LowerError(f"unknown expression {type(e).__name__}")
+
+    @staticmethod
+    def _unify(a, b):
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        dt = jnp.promote_types(a.dtype, b.dtype)
+        return a.astype(dt), b.astype(dt)
+
+    def _binop(self, e: A.BinOp, env, ctx):
+        a = self.eval(e.lhs, env, ctx)
+        b = self.eval(e.rhs, env, ctx)
+        op = e.op
+        if op == "&&":
+            return a & b
+        if op == "||":
+            return a | b
+        if op in ("==", "!="):
+            a, b = self._unify(a, b)
+            return (a == b) if op == "==" else (a != b)
+        if op in ("<", "<=", ">", ">="):
+            a, b = self._unify(a, b)
+            return {"<": a < b, "<=": a <= b,
+                    ">": a > b, ">=": a >= b}[op]
+        a, b = self._unify(a, b)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if jnp.issubdtype(a.dtype, jnp.integer):
+                # C truncating division (generated C++ semantics)
+                return jax.lax.div(a, jnp.where(b == 0, 1, b))
+            return a / b
+        if op == "%":
+            return jax.lax.rem(a, jnp.where(b == 0, 1, b))
+        raise LowerError(f"binary op {op}")
+
+    # ---- builtins (gm_builtin.cc table -> array ops) ------------------------
+    def _builtin(self, e: A.Builtin, env, ctx):
+        g = self.g
+        name = e.name.lower()
+        if e.driver is not None and e.driver in self.graphs:
+            if name == "numnodes":
+                return jnp.asarray(g.num_nodes, jnp.int32)
+            if name == "numedges":
+                return jnp.asarray(g.num_edges, jnp.int32)
+            if name == "pickrandom":
+                raise LowerError("PickRandom needs RNG plumbing")
+            raise LowerError(f"graph builtin {e.name}")
+        if e.driver is None:
+            raise LowerError(f"global builtin {e.name}")
+        ids = self._ident(e.driver, env, ctx)
+        if name in ("degree", "outdegree", "numnbrs"):
+            return g.out_degree()[ids]
+        if name in ("indegree", "numinnbrs"):
+            return g.in_degree()[ids]
+        if name == "toedge":
+            if ctx is None or ctx.kind != "edge" or e.driver != ctx.inner_var:
+                raise LowerError("ToEdge() outside a neighbor loop")
+            return ctx.slots()
+        if name in ("fromnode", "from"):
+            return g.node_idx_src[ids]
+        if name in ("tonode", "to"):
+            return g.node_idx[ids]
+        if name == "hasedgeto":
+            dst = self.eval(e.args[0], env, ctx)
+            src, dst = jnp.broadcast_arrays(jnp.asarray(ids), dst)
+            return ops.has_edge_to(g, src, dst)
+        if name == "isnbrfrom":
+            src = self.eval(e.args[0], env, ctx)
+            idv, src = jnp.broadcast_arrays(jnp.asarray(ids), src)
+            return ops.has_edge_to(g, src, idv)
+        raise LowerError(f"builtin {e.name} not lowerable yet")
+
+    # ---- neighbor-context construction --------------------------------------
+    def _edge_ctx(self, it: A.Iterator, env, ctx) -> EdgeCtx:
+        g = self.g
+        level_filter = None
+        if it.iter_type in ("NBRS", "OUT_NBRS"):
+            layout, outer, inner = "csr", g.node_idx_src, g.node_idx
+        elif it.iter_type == "IN_NBRS":
+            layout, outer, inner = "csc", g.r_node_idx_dst, g.r_node_idx
+        elif it.iter_type in ("UP_NBRS", "DOWN_NBRS"):
+            # BFS-tree-relative neighbors (gm_cpp_gen_foreach.cc level
+            # checks): Up = in-neighbors one level closer to the root,
+            # Down = out-neighbors one level deeper.
+            if self._bfs_ctx is None or self._bfs_ctx[0] != it.source:
+                raise LowerError(f"{it.iter_type} outside its InBFS body")
+            _, level, d = self._bfs_ctx
+            if it.iter_type == "UP_NBRS":
+                layout, outer, inner = ("csc", g.r_node_idx_dst,
+                                        g.r_node_idx)
+                level_filter = level[inner] == (d - 1)
+            else:
+                layout, outer, inner = "csr", g.node_idx_src, g.node_idx
+                level_filter = level[inner] == (d + 1)
+        elif it.iter_type == "EDGES":
+            ectx = EdgeCtx(g=g, layout="csr", outer_var="",
+                           inner_var=it.var,
+                           outer_ids=g.node_idx_src, inner_ids=jnp.arange(
+                               g.e_pad, dtype=jnp.int32),
+                           mask=g.edge_mask(), parent=None,
+                           inner_is_edge=True)
+            return ectx
+        else:
+            raise LowerError(f"iterator {it.iter_type} not lowerable yet")
+        mask = g.edge_mask()
+        if level_filter is not None:
+            mask = mask & level_filter
+        src_name = it.source
+        if ctx is not None and ctx.kind == "node" and (
+                src_name == ctx.var or src_name in ctx.aliases):
+            mask = mask & ctx.mask[outer]
+            parent = ctx
+        elif ctx is None or ctx.kind == "node":
+            # neighborhood of a scalar node variable (e.g. root.Nbrs)
+            v = self._ident(src_name, env, ctx)
+            mask = mask & (outer == v)
+            parent = ctx if (ctx is not None and ctx.kind == "node") else None
+        else:
+            raise LowerError("neighbor iteration nested inside a neighbor "
+                             "loop (wedge enumeration) is not lowerable; "
+                             "use CommonNbrs/HasEdgeTo forms")
+        return EdgeCtx(g=g, layout=layout, outer_var=src_name,
+                       inner_var=it.var, outer_ids=outer, inner_ids=inner,
+                       mask=mask, parent=parent)
+
+    def _node_ctx(self, it: A.Iterator, env, ctx, aliases=()) -> NodeCtx:
+        g = self.g
+        if ctx is not None:
+            raise LowerError("whole-graph loop nested inside a parallel "
+                             "context is not lowerable")
+        return NodeCtx(g=g, var=it.var,
+                       ids=jnp.arange(g.n_pad, dtype=jnp.int32),
+                       mask=g.node_mask(), aliases=tuple(aliases))
+
+    # ---- reduce expressions --------------------------------------------------
+    def _reduce_expr(self, e: A.ReduceExpr, env, ctx):
+        it = e.iterator
+        if it.source in self.graphs and it.iter_type == "NODES":
+            nctx = self._node_ctx(it, env, None)
+            return self._reduce_over_nodes(e, env, nctx)
+        if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS", "EDGES"):
+            ectx = self._edge_ctx(it, env, ctx)
+            per_node, scalar = self._reduce_over_edges(e, env, ectx, ctx)
+            return per_node if scalar is None else scalar
+        raise LowerError(f"reduce over {it.iter_type} not lowerable yet")
+
+    def _reduce_over_nodes(self, e: A.ReduceExpr, env, nctx: NodeCtx):
+        mask = nctx.mask
+        if e.filter is not None:
+            mask = mask & self.eval(e.filter, env, nctx)
+        nctx = nctx.with_mask(mask)
+        if e.op == "COUNT" and e.body is None:
+            vals = mask.astype(jnp.int32)
+        else:
+            body = self.eval(e.body, env, nctx)
+            if e.op == "COUNT":
+                vals = (mask & body).astype(jnp.int32)
+            elif e.op in ("EXIST", "ALL", "AND", "OR"):
+                vals = body
+            else:
+                vals = jnp.broadcast_to(jnp.asarray(body), mask.shape)
+        op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND"}.get(e.op, e.op)
+        dt = vals.dtype if hasattr(vals, "dtype") else jnp.asarray(vals).dtype
+        ident = _identity(op, dt)
+        vals = jnp.where(mask, vals, ident)
+        red = {"SUM": jnp.sum, "MULT": jnp.prod, "MIN": jnp.min,
+               "MAX": jnp.max, "AND": jnp.all, "OR": jnp.any}[op]
+        out = red(vals)
+        if e.op == "AVG":
+            cnt = jnp.sum(mask.astype(_float_dtype()))
+            out = out.astype(_float_dtype()) / jnp.maximum(cnt, 1)
+        return out
+
+    def _reduce_over_edges(self, e: A.ReduceExpr, env, ectx: EdgeCtx,
+                           outer_ctx):
+        """Returns (per_node [N_pad] or None, scalar or None)."""
+        mask = ectx.mask
+        if e.filter is not None:
+            mask = mask & self.eval(e.filter, env, ectx.with_mask(mask))
+        ectx = ectx.with_mask(mask)
+        if e.op == "COUNT" and e.body is None:
+            vals = mask.astype(jnp.int32)
+        else:
+            body = self.eval(e.body, env, ectx)
+            if e.op == "COUNT":
+                vals = (mask & body).astype(jnp.int32)
+            else:
+                vals = jnp.broadcast_to(jnp.asarray(body), mask.shape)
+        op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND"}.get(e.op, e.op)
+        if op in ("AND", "OR"):
+            work = vals.astype(jnp.int8)
+            sub = "MIN" if op == "AND" else "MAX"
+            ident = _identity(sub, jnp.int8)
+            work = jnp.where(mask, work, ident)
+            seg = sub
+        else:
+            ident = _identity(op, vals.dtype)
+            work = jnp.where(mask, vals, ident)
+            seg = op
+            if op == "MULT":
+                raise LowerError("Product over neighbors not lowerable yet")
+        reduce_to_scalar = (
+            outer_ctx is None
+            or (ectx.parent is None and not ectx.inner_is_edge)
+            or (ectx.inner_is_edge and outer_ctx is None))
+        if ectx.inner_is_edge or ectx.parent is None:
+            # whole-edge-set or scalar-source neighborhood -> scalar
+            red = {"SUM": jnp.sum, "MIN": jnp.min, "MAX": jnp.max}[seg] \
+                if seg in ("SUM", "MIN", "MAX") else None
+            if red is None:
+                out = (jnp.max(work) > 0) if op == "OR" else (
+                    jnp.min(work) > 0)
+            else:
+                out = red(work)
+            if e.op == "AVG":
+                cnt = jnp.sum(mask.astype(_float_dtype()))
+                out = out.astype(_float_dtype()) / jnp.maximum(cnt, 1)
+            return None, out
+        # per-outer-node segment reduction (sorted by construction)
+        sortkey = (ectx.g.node_idx_src if ectx.layout == "csr"
+                   else ectx.g.r_node_idx_dst)
+        offs = ectx.g.begin if ectx.layout == "csr" else ectx.g.r_begin
+        segop = {"SUM": "add", "MIN": "min", "MAX": "max"}[seg]
+        per_node = ops.sorted_segment_reduce(work, sortkey, offs,
+                                             ectx.g.n_pad, segop)
+        if op in ("AND", "OR"):
+            per_node = (per_node > 0) if op == "OR" else (per_node > 0)
+            if seg == "MIN":
+                per_node = ops.sorted_segment_reduce(
+                    work, sortkey, offs, ectx.g.n_pad, "min") > 0
+        if e.op == "AVG":
+            cnt = ops.sorted_segment_reduce(
+                mask.astype(_float_dtype()), sortkey, offs,
+                ectx.g.n_pad, "add")
+            per_node = per_node.astype(_float_dtype()) / jnp.maximum(cnt, 1)
+        # align to the outer context's vector of the source variable
+        if outer_ctx is not None and outer_ctx.kind == "node":
+            if ectx.outer_var == outer_ctx.var or \
+                    ectx.outer_var in outer_ctx.aliases:
+                return per_node, None
+        ids = self._ident(ectx.outer_var, env, outer_ctx)
+        return None, per_node[ids]
+
+    # ---- statements ----------------------------------------------------------
+    def exec_stmt(self, s: A.Stmt, env, ctx):
+        if isinstance(s, A.Block):
+            for st in s.stmts:
+                self.exec_stmt(st, env, ctx)
+        elif isinstance(s, A.VarDecl):
+            self._exec_vardecl(s, env, ctx)
+        elif isinstance(s, A.Assign):
+            self._exec_assign(s, env, ctx)
+        elif isinstance(s, A.ReduceAssign):
+            self._exec_reduce_assign(s, env, ctx)
+        elif isinstance(s, A.DeferAssign):
+            self._exec_defer(s, env, ctx)
+        elif isinstance(s, A.ArgMinMaxAssign):
+            self._exec_argminmax(s, env, ctx)
+        elif isinstance(s, A.Foreach):
+            self._exec_foreach(s, env, ctx)
+        elif isinstance(s, A.If):
+            self._exec_if(s, env, ctx)
+        elif isinstance(s, A.While):
+            self._exec_while(s, env, ctx)
+        elif isinstance(s, A.Return):
+            self._exec_return(s, env, ctx)
+        elif isinstance(s, A.CallStmt):
+            raise LowerError(f"procedure call {s.call.name} not lowerable")
+        elif isinstance(s, A.ForeignStmt):
+            raise LowerError("foreign C++ statement not lowerable")
+        elif isinstance(s, A.BFS):
+            self._exec_bfs(s, env, ctx)
+        else:
+            raise LowerError(f"statement {type(s).__name__} not lowerable")
+
+    def _exec_vardecl(self, s: A.VarDecl, env, ctx):
+        t = s.type
+        for name in s.names:
+            if t.is_property():
+                dt = dtype_of_kind(t.elem.kind)
+                loc = "N" if t.kind == "NODEPROP" else "E"
+                self.props[name] = (loc, dt)
+                arr = (self.g.node_prop(0, dt) if loc == "N"
+                       else self.g.edge_prop(0, dt))
+                env[_F + name] = arr
+            elif t.is_collection() or t.kind == "MAP":
+                raise LowerError(f"collection/map local {name} not "
+                                 "lowerable yet")
+            else:
+                dt = dtype_of_kind(t.kind)
+                self.scalar_dtypes[name] = dt
+                if s.init is not None:
+                    val = _coerce(self.eval(s.init, env, ctx), dt)
+                else:
+                    val = jnp.zeros((), dt)
+                env[name] = val
+                if ctx is not None:
+                    ctx.locals.add(name)
+
+    def _target_dtype(self, lhs, env):
+        if isinstance(lhs, A.Ident):
+            return self.scalar_dtypes.get(
+                lhs.name, jnp.asarray(env[lhs.name]).dtype
+                if lhs.name in env else None)
+        if isinstance(lhs, A.Field):
+            return self.props[lhs.prop][1]
+        return None
+
+    def _exec_assign(self, s: A.Assign, env, ctx):
+        lhs = s.lhs
+        if isinstance(lhs, A.Ident):
+            dt = self._target_dtype(lhs, env)
+            val = self.eval(s.rhs, env, ctx)
+            if dt is not None:
+                val = _coerce(val, dt)
+            if ctx is not None and lhs.name not in ctx.locals and \
+                    lhs.name in env and not (
+                        isinstance(env[lhs.name], jax.Array)
+                        and env[lhs.name].ndim >= 1):
+                raise LowerError(
+                    f"plain write to outer scalar {lhs.name} inside a "
+                    "parallel loop (race; use a reduction)")
+            self._wr(env, lhs.name, val)
+            return
+        if isinstance(lhs, A.Field):
+            self._exec_field_assign(lhs, s.rhs, env, ctx)
+            return
+        raise LowerError(f"assignment to {type(lhs).__name__} not lowerable")
+
+    def _exec_field_assign(self, lhs: A.Field, rhs, env, ctx):
+        loc, dt = self.props[lhs.prop]
+        key = _F + lhs.prop
+        arr = env[key]
+        if lhs.driver in self.graphs:
+            # group assignment G.prop = expr  (gm_expand_group_assignment)
+            if loc == "N":
+                nctx = NodeCtx(g=self.g, var="",
+                               ids=jnp.arange(self.g.n_pad,
+                                              dtype=jnp.int32),
+                               mask=self.g.node_mask(),
+                               aliases=(lhs.driver,))
+                val = _coerce(self.eval(rhs, env, nctx), dt)
+                val = jnp.broadcast_to(val, arr.shape)
+                self._wr(env, key, jnp.where(nctx.mask, val, arr))
+            else:
+                mask = self.g.edge_mask()
+                ectx = EdgeCtx(g=self.g, layout="csr", outer_var="",
+                               inner_var="", outer_ids=self.g.node_idx_src,
+                               inner_ids=jnp.arange(self.g.e_pad,
+                                                    dtype=jnp.int32),
+                               mask=mask, parent=None, inner_is_edge=True)
+                val = _coerce(self.eval(rhs, env, ectx), dt)
+                val = jnp.broadcast_to(val, arr.shape)
+                self._wr(env, key, jnp.where(mask, val, arr))
+            return
+        if ctx is not None and ctx.kind == "node" and lhs.driver == ctx.var:
+            val = _coerce(self.eval(rhs, env, ctx), dt)
+            val = jnp.broadcast_to(val, arr.shape)
+            self._wr(env, key, jnp.where(ctx.mask, val, arr))
+            return
+        if ctx is not None and ctx.kind == "edge":
+            # per-slot edge-property write (each slot unique -> race-free);
+            # node-prop write keyed by the inner var is a data race.
+            if loc == "E" and ctx.inner_is_edge and lhs.driver == \
+                    ctx.inner_var:
+                val = _coerce(self.eval(rhs, env, ctx), dt)
+                val = jnp.broadcast_to(val, arr.shape)
+                self._wr(env, key, jnp.where(ctx.mask, val, arr))
+                return
+            if lhs.driver == ctx.inner_var:
+                raise LowerError(
+                    f"plain write to {lhs.prop}[{lhs.driver}] keyed by a "
+                    "neighbor variable (race; use a reduction)")
+        # scalar node/edge driver (e.g. root.dist = 0)
+        ids = self._ident(lhs.driver, env, ctx)
+        val = _coerce(self.eval(rhs, env, ctx), dt)
+        if ctx is None:
+            self._wr(env, key, arr.at[ids].set(val))
+            return
+        raise LowerError(
+            f"assignment to {lhs.driver}.{lhs.prop} in a "
+            f"{ctx.kind} context not lowerable")
+
+    def _exec_reduce_assign(self, s: A.ReduceAssign, env, ctx):
+        op = s.op
+        lhs = s.lhs
+        if isinstance(lhs, A.Ident):
+            dt = self._target_dtype(lhs, env)
+            val = self.eval(s.rhs, env, ctx)
+            if ctx is None:
+                cur = env[lhs.name]
+                self._wr(env, lhs.name, _coerce(_combine(op, cur, val), dt))
+                return
+            mask = ctx.mask
+            vals = jnp.broadcast_to(jnp.asarray(val), mask.shape)
+            ident = _identity(op, vals.dtype)
+            vals = jnp.where(mask, vals, ident)
+            red = {"SUM": jnp.sum, "MULT": jnp.prod, "MIN": jnp.min,
+                   "MAX": jnp.max, "AND": jnp.all, "OR": jnp.any}[op]
+            cur = env[lhs.name]
+            self._wr(env, lhs.name, _coerce(_combine(op, cur, red(vals)),
+                                            dt))
+            return
+        if not isinstance(lhs, A.Field):
+            raise LowerError("reduce target must be scalar or field")
+        loc, dt = self.props[lhs.prop]
+        key = _F + lhs.prop
+        arr = env[key]
+        if ctx is None:
+            ids = self._ident(lhs.driver, env, ctx)
+            val = self.eval(s.rhs, env, ctx)
+            cur = arr[ids]
+            self._wr(env, key, arr.at[ids].set(
+                _coerce(_combine(op, cur, val), dt)))
+            return
+        if ctx.kind == "node" and lhs.driver == ctx.var:
+            val = self.eval(s.rhs, env, ctx)
+            val = jnp.broadcast_to(jnp.asarray(val), arr.shape)
+            new = _coerce(_combine(op, arr, val), dt)
+            self._wr(env, key, jnp.where(ctx.mask, new, arr))
+            return
+        if ctx.kind == "edge":
+            val = self.eval(s.rhs, env, ctx)
+            vals = jnp.broadcast_to(jnp.asarray(val), ctx.mask.shape)
+            if op in ("AND", "OR"):
+                work = vals.astype(jnp.int8)
+                sub = "min" if op == "AND" else "max"
+                ident = _identity("MIN" if op == "AND" else "MAX", jnp.int8)
+                work = jnp.where(ctx.mask, work, ident)
+            else:
+                ident = _identity(op, vals.dtype)
+                work = jnp.where(ctx.mask, vals, ident)
+                sub = _SEG_OP.get(op)
+                if sub is None:
+                    raise LowerError(f"{op}= over neighbors not lowerable")
+            if lhs.driver == ctx.outer_var or (
+                    ctx.parent is not None and (
+                        lhs.driver == ctx.parent.var
+                        or lhs.driver in ctx.parent.aliases)):
+                # pull: reduce along the sorted axis
+                sortkey = (ctx.g.node_idx_src if ctx.layout == "csr"
+                           else ctx.g.r_node_idx_dst)
+                offs = ctx.g.begin if ctx.layout == "csr" else ctx.g.r_begin
+                seg = ops.sorted_segment_reduce(work, sortkey, offs,
+                                                ctx.g.n_pad, sub)
+            elif lhs.driver == ctx.inner_var:
+                # push: unsorted scatter-reduce keyed by the neighbor
+                seg = {"add": ops.segment_sum, "min": ops.segment_min,
+                       "max": ops.segment_max}[sub](
+                    work, ctx.inner_ids, ctx.g.n_pad, sorted_ids=False)
+            else:
+                raise LowerError(
+                    f"reduce into {lhs.driver}.{lhs.prop} from edge ctx")
+            if op in ("AND", "OR"):
+                seg_b = seg > 0
+                new = _combine(op, arr, seg_b)
+            else:
+                new = _coerce(_combine(op, arr, seg.astype(arr.dtype)), dt)
+            # only touch rows that had at least one active slot
+            touched = ops.segment_max(
+                ctx.mask.astype(jnp.int8),
+                ctx.inner_ids if lhs.driver == ctx.inner_var else (
+                    ctx.g.node_idx_src if ctx.layout == "csr"
+                    else ctx.g.r_node_idx_dst),
+                ctx.g.n_pad, sorted_ids=lhs.driver != ctx.inner_var) > 0
+            self._wr(env, key, jnp.where(touched, new, arr))
+            return
+        raise LowerError("unsupported reduce-assign placement")
+
+    def _exec_defer(self, s: A.DeferAssign, env, ctx):
+        """x <= v @ it — visible only after the binding loop completes
+        (the defer opt's double-buffer, gm_cpp_opt_defer.cc)."""
+        if ctx is None:
+            self._exec_assign(A.Assign(lhs=s.lhs, rhs=s.rhs), env, ctx)
+            return
+        if not isinstance(s.lhs, A.Field):
+            raise LowerError("deferred write target must be a field")
+        loc, dt = self.props[s.lhs.prop]
+        key = _F + s.lhs.prop
+        val = _coerce(self.eval(s.rhs, env, ctx), dt)
+        if ctx.kind == "node" and s.lhs.driver == ctx.var:
+            val = jnp.broadcast_to(val, env[key].shape)
+            pend = (key, ctx.mask, val)
+        else:
+            raise LowerError("deferred write outside its bound node loop "
+                             "not lowerable yet")
+        if not self._defer_stack:
+            raise LowerError("deferred write outside any loop")
+        bind = s.bind
+        for name, lst in reversed(self._defer_stack):
+            if bind is None or name == bind:
+                lst.append(pend)
+                return
+        self._defer_stack[-1][1].append(pend)
+
+    def _exec_argminmax(self, s: A.ArgMinMaxAssign, env, ctx):
+        """<a; b...> min= <v; w...> — atomic compare-and-swap group write
+        (reference spinlock path gm_cpp_gen.cc:1563-1742), lowered to a
+        scatter-free segment-min + win-mask payload select."""
+        is_min = s.op == "MIN"
+        if ctx is None or ctx.kind == "node":
+            self._argminmax_scalar_or_node(s, env, ctx, is_min)
+            return
+        # edge context: push to the inner (neighbor) variable
+        if not isinstance(s.lhs, A.Field) or s.lhs.driver != ctx.inner_var:
+            raise LowerError("argmin/argmax target must be keyed by the "
+                             "neighbor variable in a neighbor loop")
+        loc, dt = self.props[s.lhs.prop]
+        key = _F + s.lhs.prop
+        old = env[key]
+        val = _coerce(self.eval(s.rhs, env, ctx), dt)
+        vals = jnp.broadcast_to(val, ctx.mask.shape)
+        ident = _identity("MIN" if is_min else "MAX", dt)
+        work = jnp.where(ctx.mask, vals, ident)
+        segf = ops.segment_min if is_min else ops.segment_max
+        m = segf(work, ctx.inner_ids, ctx.g.n_pad, sorted_ids=False)
+        improved = (m < old) if is_min else (m > old)
+        new = jnp.where(improved, m, old)
+        self._wr(env, key, new)
+        if not s.lhs_extra:
+            return
+        # payload select: find the winning slot deterministically (lowest
+        # slot id among achievers — the reference's winner is whichever
+        # thread's CAS lands; ours is reproducible)
+        extra_vals = [self.eval(r, env, ctx) for r in s.rhs_extra]
+        need_slot = any(jnp.asarray(v).ndim >= 1 for v in extra_vals)
+        if need_slot:
+            slot_ids = jnp.arange(ctx.g.e_pad, dtype=jnp.int32)
+            win = ctx.mask & (work == m[ctx.inner_ids])
+            cand = jnp.where(win, slot_ids, jnp.asarray(
+                ctx.g.e_pad, jnp.int32))
+            win_slot = ops.segment_min(cand, ctx.inner_ids, ctx.g.n_pad,
+                                       sorted_ids=False)
+            win_slot = jnp.minimum(win_slot, ctx.g.e_pad - 1)
+        for lhs_e, rhs_v in zip(s.lhs_extra, extra_vals):
+            if not isinstance(lhs_e, A.Field) or \
+                    lhs_e.driver != ctx.inner_var:
+                raise LowerError("argminmax payload target must be keyed "
+                                 "by the same neighbor variable")
+            _, edt = self.props[lhs_e.prop]
+            ekey = _F + lhs_e.prop
+            eold = env[ekey]
+            rv = jnp.asarray(rhs_v)
+            if rv.ndim >= 1:
+                payload = _coerce(rv, edt)[win_slot]
+            else:
+                payload = _coerce(rv, edt)
+            self._wr(env, ekey, jnp.where(improved, payload, eold))
+
+    def _argminmax_scalar_or_node(self, s, env, ctx, is_min):
+        # reduction of <value; payload...> into scalars over a node ctx
+        if ctx is None:
+            raise LowerError("scalar argminmax outside a loop")
+        if not isinstance(s.lhs, A.Ident):
+            raise LowerError("scalar argminmax target must be an ident")
+        dt = self._target_dtype(s.lhs, env)
+        val = _coerce(self.eval(s.rhs, env, ctx), dt)
+        vals = jnp.broadcast_to(val, ctx.mask.shape)
+        ident = _identity("MIN" if is_min else "MAX", dt)
+        work = jnp.where(ctx.mask, vals, ident)
+        best = jnp.min(work) if is_min else jnp.max(work)
+        idx = jnp.argmin(work) if is_min else jnp.argmax(work)
+        cur = env[s.lhs.name]
+        improved = (best < cur) if is_min else (best > cur)
+        self._wr(env, s.lhs.name, jnp.where(improved, best, cur))
+        for lhs_e, rhs_e in zip(s.lhs_extra, s.rhs_extra):
+            if not isinstance(lhs_e, A.Ident):
+                raise LowerError("scalar argminmax payload must be ident")
+            pv = self.eval(rhs_e, env, ctx)
+            pv = jnp.asarray(pv)
+            pick = pv[idx] if pv.ndim >= 1 else pv
+            edt = self._target_dtype(lhs_e, env)
+            if edt is not None:
+                pick = _coerce(pick, edt)
+            self._wr(env, lhs_e.name, jnp.where(improved, pick,
+                                                env[lhs_e.name]))
+
+    def _exec_foreach(self, s: A.Foreach, env, ctx):
+        it = s.iterator
+        if it.source in self.graphs and it.iter_type == "NODES":
+            nctx = self._node_ctx(it, env, ctx)
+            if s.filter is not None:
+                nctx = nctx.with_mask(nctx.mask &
+                                      self.eval(s.filter, env, nctx))
+            self._defer_stack.append((it.var, []))
+            try:
+                self.exec_stmt(s.body, env, nctx)
+            finally:
+                _, pend = self._defer_stack.pop()
+            for key, mask, val in pend:
+                self._wr(env, key, jnp.where(mask, val, env[key]))
+            return
+        if it.source in self.graphs and it.iter_type == "EDGES":
+            ectx = self._edge_ctx(it, env, None)
+            if s.filter is not None:
+                ectx = ectx.with_mask(ectx.mask &
+                                      self.eval(s.filter, env, ectx))
+            self._defer_stack.append((it.var, []))
+            try:
+                self.exec_stmt(s.body, env, ectx)
+            finally:
+                _, pend = self._defer_stack.pop()
+            for key, mask, val in pend:
+                self._wr(env, key, jnp.where(mask, val, env[key]))
+            return
+        if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS"):
+            ectx = self._edge_ctx(it, env, ctx)
+            if s.filter is not None:
+                ectx = ectx.with_mask(ectx.mask &
+                                      self.eval(s.filter, env, ectx))
+            self.exec_stmt(s.body, env, ectx)
+            return
+        raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
+
+    def _exec_if(self, s: A.If, env, ctx):
+        cond = self.eval(s.cond, env, ctx)
+        if ctx is not None:
+            c = jnp.broadcast_to(jnp.asarray(cond), ctx.mask.shape)
+            self.exec_stmt(s.then, env, ctx.with_mask(ctx.mask & c))
+            if s.els is not None:
+                self.exec_stmt(s.els, env, ctx.with_mask(ctx.mask & ~c))
+            return
+        if isinstance(cond, bool) or (isinstance(cond, np.bool_)):
+            if cond:
+                self.exec_stmt(s.then, env, ctx)
+            elif s.els is not None:
+                self.exec_stmt(s.els, env, ctx)
+            return
+        # traced scalar condition: run both branches, where-merge writes
+        env_t = dict(env)
+        self.exec_stmt(s.then, env_t, ctx)
+        env_e = dict(env)
+        if s.els is not None:
+            self.exec_stmt(s.els, env_e, ctx)
+        keys = set()
+        for k in set(env_t) | set(env_e):
+            if env_t.get(k) is not env.get(k) or \
+                    env_e.get(k) is not env.get(k):
+                keys.add(k)
+        for k in keys:
+            tv = env_t.get(k, env.get(k))
+            ev = env_e.get(k, env.get(k))
+            if tv is None:
+                env[k] = ev
+            elif ev is None:
+                env[k] = tv
+            else:
+                tv2, ev2 = self._unify(tv, ev)
+                env[k] = jnp.where(cond, tv2, ev2)
+
+    def _exec_while(self, s: A.While, env, ctx):
+        if ctx is not None:
+            raise LowerError("while-loop inside a parallel loop")
+        wkeys = written_keys(s.body)
+        dkeys = declared_keys(s.body)
+        carry_keys = sorted((wkeys - dkeys) - {_RET, _DONE})
+        if (_RET in wkeys) or (_DONE in wkeys):
+            raise LowerError("Return inside While not lowerable yet")
+        for k in carry_keys:
+            if k not in env:
+                raise LowerError(f"loop writes undeclared symbol {k}")
+        if s.do_while:
+            self.exec_stmt(s.body, env, None)
+        init = tuple(jnp.asarray(env[k]) for k in carry_keys)
+        shapes = [(v.shape, v.dtype) for v in init]
+        lw = self
+
+        def overlay(carry):
+            e2 = dict(env)
+            for k, v in zip(carry_keys, carry):
+                e2[k] = v
+            return e2
+
+        def cond_fn(carry):
+            return jnp.asarray(lw.eval(s.cond, overlay(carry), None),
+                               jnp.bool_).reshape(())
+
+        def body_fn(carry):
+            e2 = overlay(carry)
+            lw.exec_stmt(s.body, e2, None)
+            out = []
+            for k, (shape, dt) in zip(carry_keys, shapes):
+                v = jnp.asarray(e2[k])
+                if v.shape != shape:
+                    raise LowerError(
+                        f"loop-carried {k} changes shape {shape}->{v.shape}")
+                out.append(v.astype(dt))
+            return tuple(out)
+
+        final = jax.lax.while_loop(cond_fn, body_fn, init)
+        for k, v in zip(carry_keys, final):
+            env[k] = v
+
+    def _exec_return(self, s: A.Return, env, ctx):
+        if ctx is not None:
+            raise LowerError("Return inside a parallel loop")
+        val = (self.eval(s.value, env, ctx)
+               if s.value is not None else jnp.zeros((), jnp.int32))
+        if self.proc.return_type is not None:
+            val = _coerce(val, dtype_of_kind(self.proc.return_type.kind))
+        done = env.get(_DONE)
+        if done is None:
+            env[_RET] = val
+            env[_DONE] = jnp.asarray(True)
+        else:
+            old = env.get(_RET, val)
+            old2, val2 = self._unify(old, val)
+            env[_RET] = jnp.where(done, old2, val2)
+            env[_DONE] = jnp.asarray(True)
+
+    def _exec_bfs(self, s: A.BFS, env, ctx):
+        from .lower_bfs import exec_bfs
+        exec_bfs(self, s, env, ctx)
+
+
+# --------------------------------------------------------------------------
+# Public driver
+# --------------------------------------------------------------------------
+
+class CompiledProc:
+    """A lowered Green-Marl procedure.
+
+    ``__call__(g, *args, **kwargs)`` binds arguments positionally in
+    declaration order (graph first, like generated mains) or by name;
+    output properties (the reference's post-``;`` args) are allocated
+    automatically unless provided.  Returns a dict of output-property
+    arrays plus ``"_return"`` when the procedure returns a value.
+    """
+
+    def __init__(self, proc: A.Procedure):
+        self.proc = proc
+
+    @property
+    def name(self):
+        return self.proc.name
+
+    def _bind(self, g: Graph, args, kwargs):
+        env: Dict = {}
+        lw = Lowerer(self.proc, g)
+        pos = list(args)
+        out_names = []
+        for decl in self.proc.args:
+            for name in decl.names:
+                if decl.type.kind == "GRAPH":
+                    env[name] = g
+                    continue
+                if name in kwargs:
+                    val = kwargs[name]
+                elif pos:
+                    val = pos.pop(0)
+                elif decl.type.is_property():
+                    # properties are by-reference in the reference runtime;
+                    # unsupplied ones are allocated (output-style usage,
+                    # e.g. hop_dist's dist) and returned
+                    loc, dt = lw.props[name]
+                    out_names.append(name)
+                    env[_F + name] = (g.node_prop(0, dt) if loc == "N"
+                                      else g.edge_prop(0, dt))
+                    continue
+                else:
+                    raise TypeError(f"missing argument {name}")
+                if decl.type.is_property():
+                    loc, dt = lw.props[name]
+                    env[_F + name] = _coerce(jnp.asarray(val), dt)
+                else:
+                    env[name] = _coerce(jnp.asarray(val),
+                                        dtype_of_kind(decl.type.kind))
+        for decl in self.proc.out_args:
+            for name in decl.names:
+                out_names.append(name)
+                if decl.type.is_property():
+                    loc, dt = lw.props[name]
+                    if name in kwargs:
+                        env[_F + name] = _coerce(jnp.asarray(kwargs[name]),
+                                                 dt)
+                    else:
+                        env[_F + name] = (g.node_prop(0, dt) if loc == "N"
+                                          else g.edge_prop(0, dt))
+                else:
+                    env[name] = _coerce(
+                        jnp.asarray(kwargs.get(name, 0)),
+                        dtype_of_kind(decl.type.kind))
+        return lw, env, out_names
+
+    def __call__(self, g: Graph, *args, **kwargs):
+        lw, env, out_names = self._bind(g, args, kwargs)
+        lw.run(env)
+        out = {}
+        for name in out_names:
+            out[name] = env.get(_F + name, env.get(name))
+        if _RET in env:
+            out["_return"] = env[_RET]
+        return out
+
+    def jit(self):
+        """Whole-procedure jit: one XLA program (graph is a pytree arg)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(g, args, kwargs):
+            return self(g, *args, **kwargs)
+
+        def call(g, *args, **kwargs):
+            return run(g, tuple(args), dict(kwargs))
+
+        return call
+
+
+def compile_source(text: str, name: Optional[str] = None,
+                   filename: str = "<input>") -> CompiledProc:
+    """Parse + typecheck + lower a Green-Marl source string."""
+    from .parser import parse
+    procs = parse(text, filename)
+    return _pick(procs, name)
+
+
+def compile_file(path: str, name: Optional[str] = None) -> CompiledProc:
+    from .parser import parse_file
+    procs = parse_file(path)
+    return _pick(procs, name)
+
+
+def _pick(procs: List[A.Procedure], name: Optional[str]) -> CompiledProc:
+    typecheck(procs)
+    if name is None:
+        cands = [p for p in procs if not p.is_local]
+        proc = cands[-1]
+    else:
+        proc = next(p for p in procs if p.name == name)
+    return CompiledProc(proc)

@@ -1,0 +1,121 @@
+"""Lowering of InBFS/InDFS statements (gm_grammer.y:266-304).
+
+The reference compiles a BFS statement into a subclass of the
+direction-optimizing ``gm_bfs_template`` with ``visit_fw``/``visit_rv``
+virtuals (``gm_cpp_gen_bfs.cc:7-275``).  The TPU lowering instead:
+
+1. computes the full level array with the framework's level-synchronous
+   frontier engine (``models.hop_dist`` machinery);
+2. replays the forward body once per level in a node context masked to
+   that level's frontier (``UpNbrs``/``DownNbrs`` become level-filtered
+   neighbor contexts);
+3. replays the reverse body from the deepest level back to the root
+   (``do_bfs_reverse``, gm_bfs_template.h:273).
+
+The level count is data-dependent, so the per-level replay runs as a host
+loop around jit-traced steps (level count is pulled to host once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import gm_ast as A
+
+
+def _levels(lw, root, transpose: bool):
+    """Level array via iterative masked expansion (pure XLA)."""
+    from ..ops import segment as ops
+    g = lw.g
+    n_pad = g.n_pad
+    INF = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    level = jnp.where(ids == root, 0, INF)
+    mask = g.node_mask()
+
+    def cond(state):
+        level, frontier_any, d = state
+        return frontier_any
+
+    def body(state):
+        level, _, d = state
+        fr = (level == d) & mask
+        if transpose:
+            reach = ops.in_nbr_any(g, fr)
+        else:
+            vals = fr[g.node_idx_src].astype(jnp.int8)
+            from ..ops.segment import segment_max
+            reach = segment_max(vals, g.node_idx, g.n_pad,
+                                sorted_ids=False) > 0
+        newly = reach & (level == INF) & mask
+        level2 = jnp.where(newly, d + 1, level)
+        return level2, jnp.any(newly), d + 1
+
+    level, _, depth = jax.lax.while_loop(
+        cond, body, (level, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    return level, depth
+
+
+def exec_bfs(lw, s: A.BFS, env, ctx):
+    from .lower import LowerError, NodeCtx
+
+    if ctx is not None:
+        raise LowerError("InBFS nested inside a parallel loop")
+    if not s.is_bfs:
+        raise LowerError("InDFS is inherently sequential; use the "
+                         "runtime DFS engine (models.dfs) instead")
+    g = lw.g
+    root = lw._ident(s.root, env, None)
+    level, depth = _levels(lw, root, s.transpose)
+    depth = int(jax.device_get(depth))        # host sync: level count
+    env["__bfs_level$" + s.var] = level
+
+    ids = jnp.arange(g.n_pad, dtype=jnp.int32)
+    base_mask = g.node_mask()
+
+    def level_ctx(d):
+        m = base_mask & (level == d)
+        return NodeCtx(g=g, var=s.var, ids=ids, mask=m)
+
+    # forward pass: shallow -> deep
+    for d in range(depth + 1):
+        nctx = level_ctx(d)
+        if s.navigator is not None:
+            nctx = nctx.with_mask(nctx.mask &
+                                  lw.eval(s.navigator, env, nctx))
+        if s.filter_fw is not None:
+            nctx = nctx.with_mask(nctx.mask &
+                                  lw.eval(s.filter_fw, env, nctx))
+        lw._bfs_ctx = (s.var, level, d)
+        try:
+            lw._defer_stack.append((s.var, []))
+            try:
+                lw.exec_stmt(s.body_fw, env, nctx)
+            finally:
+                _, pend = lw._defer_stack.pop()
+            for key, mask, val in pend:
+                lw._wr(env, key, jnp.where(mask, val, env[key]))
+        finally:
+            lw._bfs_ctx = None
+
+    # reverse pass: deep -> shallow (InReverse body)
+    if s.body_bw is not None:
+        for d in range(depth, -1, -1):
+            nctx = level_ctx(d)
+            if s.filter_bw is not None:
+                nctx = nctx.with_mask(nctx.mask &
+                                      lw.eval(s.filter_bw, env, nctx))
+            lw._bfs_ctx = (s.var, level, d)
+            try:
+                lw._defer_stack.append((s.var, []))
+                try:
+                    lw.exec_stmt(s.body_bw, env, nctx)
+                finally:
+                    _, pend = lw._defer_stack.pop()
+                for key, mask, val in pend:
+                    lw._wr(env, key, jnp.where(mask, val, env[key]))
+            finally:
+                lw._bfs_ctx = None

@@ -230,21 +230,15 @@ def _cumsum_local_kernel(base_ref, v_ref, out_ref, *, is_int: bool):
     upper = (lane <= lane2).astype(jnp.float32)          # [128,128]
     p = jnp.dot(vf, upper, preferred_element_type=jnp.float32)
 
-    # cross-row prefix: row totals -> grouped triangular matmul
+    # cross-row prefix: strictly-lower-triangular matvec over row totals
+    # (no vector reshapes — Mosaic rejects (g,128)->(SUBS,1) shape casts)
     lane_ix = jax.lax.broadcasted_iota(jnp.int32, (CS_SUBS, LANES), 1)
     t = jnp.sum(jnp.where(lane_ix == LANES - 1, p, 0.0), axis=1,
                 keepdims=True)                           # [SUBS,1]
-    g = CS_SUBS // LANES
-    t2 = t.reshape(g, LANES)                             # groups of 128 rows
-    strict = (lane < lane2).astype(jnp.float32)
-    tp = jnp.dot(t2, strict, preferred_element_type=jnp.float32)
-    # group bases: exclusive prefix of group totals (g is tiny)
-    gt = jnp.sum(t2, axis=1, keepdims=True)              # [g,1]
-    grow = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    grow2 = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    glow = (grow2 < grow).astype(jnp.float32)
-    gbase = jnp.dot(glow, gt, preferred_element_type=jnp.float32)  # [g,1]
-    row_base = (tp + gbase).reshape(CS_SUBS, 1)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (CS_SUBS, CS_SUBS), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (CS_SUBS, CS_SUBS), 1)
+    low = (scol < srow).astype(jnp.float32)
+    row_base = jnp.dot(low, t, preferred_element_type=jnp.float32)
 
     local = p + row_base
     b = base_ref[pl.program_id(0)]
