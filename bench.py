@@ -59,7 +59,6 @@ def main():
     import jax.numpy as jnp
     from green_marl_tpu.graph.csr import from_edges
     from green_marl_tpu.models import bfs as m_bfs
-    from green_marl_tpu.utils.timing import fetch_baseline
 
     t0 = time.time()
     src, dst = get_edges()
@@ -75,36 +74,26 @@ def main():
     # Roots in the giant component: highest out-degree nodes.
     n_roots = 4 if SMOKE else 8
     roots = np.argsort(out_deg)[-n_roots:][::-1].astype(np.int32).copy()
-    roots_j = jnp.asarray(roots)
 
-    def run():
-        lv, reach, trav, level = m_bfs.bfs_many_sequential(g, roots_j)
-        # ONE device array -> one sync, no bulk transfer
+    def run_roots(rr):
+        lv, reach, trav, level = m_bfs.bfs_many_sequential(
+            g, jnp.asarray(rr))
         return jnp.stack([jnp.asarray(lv, jnp.int32),
                           jnp.asarray(reach, jnp.int32),
                           jnp.asarray(trav, jnp.int32)])
 
-    stats = run()                      # warmup + compile
-    stats.block_until_ready()
-    # sync floor: round-trip latency of an empty dispatch+wait (the axon
-    # tunnel costs ~100ms/sync; subtract its median so the timed region
-    # reflects device time)
-    floors = []
-    for _ in range(5):
-        t0 = time.time()
-        jnp.zeros((3,), jnp.int32).block_until_ready()
-        floors.append(time.time() - t0)
-    floor = float(np.median(floors))
+    # The axon tunnel memoizes identical (executable, args) dispatches, so
+    # every repetition must use a distinct root *order* (same workload:
+    # each run is the same n_roots BFS traversals, just permuted).
+    orders = [np.roll(roots, k) for k in range(4)]
+    stats = np.asarray(jax.device_get(run_roots(orders[0])))  # warm+compile
     times = []
-    for _ in range(3):
+    for k in range(1, 4):
         t0 = time.time()
-        run().block_until_ready()
+        np.asarray(jax.device_get(run_roots(orders[k])))
         times.append(time.time() - t0)
-    raw = float(np.median(times))
-    dt = max(raw - floor, 1e-9)
-    print(f"# raw={raw*1000:.1f}ms sync_floor={floor*1000:.1f}ms",
-          file=sys.stderr)
-    lv, reach, trav = (int(x) for x in np.asarray(stats))
+    dt = float(np.median(times))
+    lv, reach, trav = (int(x) for x in stats)
     gteps = trav / dt / 1e9
     print(f"# roots={n_roots} total_levels={lv} total_reached={reach} "
           f"traversed={trav} time={dt*1000:.1f}ms "
