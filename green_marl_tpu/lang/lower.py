@@ -562,8 +562,12 @@ class Lowerer:
                 vals = body
             else:
                 vals = jnp.broadcast_to(jnp.asarray(body), mask.shape)
-        op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND"}.get(e.op, e.op)
+        op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND",
+              "AVG": "SUM"}.get(e.op, e.op)
         dt = vals.dtype if hasattr(vals, "dtype") else jnp.asarray(vals).dtype
+        if e.op == "AVG":
+            vals = jnp.asarray(vals, _float_dtype())
+            dt = vals.dtype
         ident = _identity(op, dt)
         vals = jnp.where(mask, vals, ident)
         red = {"SUM": jnp.sum, "MULT": jnp.prod, "MIN": jnp.min,
