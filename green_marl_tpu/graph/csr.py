@@ -77,6 +77,15 @@ class Graph:
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
 
+    # Distributed execution (lang.distribute): when this Graph is a local
+    # edge *slab* of a mesh-sharded graph, ``e_base`` is the (traced)
+    # global slot index of local slot 0 and the ``*_idx`` arrays hold only
+    # this shard's slab, while ``begin``/``r_begin`` stay global.  ``None``
+    # for ordinary single-device graphs.  This plays the role of Shoal's
+    # per-NUMA-domain array distribution (``run.sh:66-105``) and the GPS
+    # backend's vertex partition (SURVEY.md §2.6).
+    e_base: Optional[jax.Array] = None
+
     # ---- static geometry -------------------------------------------------
     @property
     def n_pad(self) -> int:
@@ -103,7 +112,29 @@ class Graph:
     # ---- masks & degrees (computed, fused into consumers) ----------------
     def edge_mask(self) -> jax.Array:
         """[E_pad] bool — True for real edges (CSR and CSC share E)."""
-        return jnp.arange(self.e_pad, dtype=jnp.int32) < self.num_edges
+        slots = jnp.arange(self.e_pad, dtype=jnp.int32)
+        if self.e_base is not None:
+            slots = slots + jnp.asarray(self.e_base, jnp.int32)
+        return slots < self.num_edges
+
+    # ---- slab-local offset views (distributed execution) -----------------
+    def csr_offsets(self) -> jax.Array:
+        """``begin`` clipped to this shard's slab — segment-reduction
+        offsets valid for the local ``node_idx``/``node_idx_src`` arrays.
+        Identity for single-device graphs."""
+        if self.e_base is None:
+            return self.begin
+        return jnp.clip(self.begin - jnp.asarray(self.e_base,
+                                                 self.begin.dtype),
+                        0, self.e_pad)
+
+    def csc_offsets(self) -> jax.Array:
+        """``r_begin`` clipped to this shard's slab (see csr_offsets)."""
+        if self.e_base is None:
+            return self.r_begin
+        return jnp.clip(self.r_begin - jnp.asarray(self.e_base,
+                                                   self.r_begin.dtype),
+                        0, self.e_pad)
 
     def node_mask(self) -> jax.Array:
         """[N_pad] bool — True for real nodes."""

@@ -271,9 +271,15 @@ def declared_keys(stmt) -> Set[str]:
 # --------------------------------------------------------------------------
 
 class Lowerer:
-    def __init__(self, proc: A.Procedure, g: Graph):
+    def __init__(self, proc: A.Procedure, g: Graph,
+                 axis: Optional[str] = None):
         self.proc = proc
         self.g = g
+        # Distributed lowering (lang.distribute): edge arrays are local
+        # slabs of a mesh axis; every edge-space reduction finishes with a
+        # psum/pmin/pmax over ``axis`` (the GPS backend's per-superstep
+        # message combine, SURVEY.md §2.6).
+        self.axis = axis
         self.graphs: Set[str] = set()
         # property registry: name -> ("N"|"E", dtype)
         self.props: Dict[str, Tuple[str, object]] = {}
@@ -301,6 +307,28 @@ class Lowerer:
     def run(self, env: Dict) -> Dict:
         self.exec_stmt(self.proc.body, env, None)
         return env
+
+    # ---- cross-shard combine (distributed lowering) ------------------------
+    def _pcomb(self, x, sub: str):
+        """Combine per-shard partial edge reductions over the mesh axis."""
+        if self.axis is None:
+            return x
+        f = {"add": jax.lax.psum, "min": jax.lax.pmin,
+             "max": jax.lax.pmax}.get(sub)
+        if f is None:
+            raise LowerError(
+                f"{sub} reduction not supported in distributed lowering")
+        return f(x, self.axis)
+
+    def _no_random_read(self, what: str):
+        """Random-access reads are infeasible under edge sharding — the
+        reference's distributed backend rejects them the same way
+        (``gm_gps_new_check_random_read.cc``)."""
+        if self.axis is not None:
+            raise LowerError(
+                f"{what} is a random edge-space read; not supported in "
+                "distributed lowering (the reference GPS backend rejects "
+                "these too)")
 
     # ---- env write with return-guard --------------------------------------
     def _wr(self, env, key, val):
@@ -464,10 +492,12 @@ class Lowerer:
         if name in ("tonode", "to"):
             return g.node_idx[ids]
         if name == "hasedgeto":
+            self._no_random_read("HasEdgeTo")
             dst = self.eval(e.args[0], env, ctx)
             src, dst = jnp.broadcast_arrays(jnp.asarray(ids), dst)
             return ops.has_edge_to(g, src, dst)
         if name == "isnbrfrom":
+            self._no_random_read("IsNbrFrom")
             src = self.eval(e.args[0], env, ctx)
             idv, src = jnp.broadcast_arrays(jnp.asarray(ids), src)
             return ops.has_edge_to(g, src, idv)
@@ -612,33 +642,39 @@ class Lowerer:
             or (ectx.inner_is_edge and outer_ctx is None))
         if ectx.inner_is_edge or ectx.parent is None:
             # whole-edge-set or scalar-source neighborhood -> scalar
+            _sub = {"SUM": "add", "MIN": "min", "MAX": "max"}
             red = {"SUM": jnp.sum, "MIN": jnp.min, "MAX": jnp.max}[seg] \
                 if seg in ("SUM", "MIN", "MAX") else None
             if red is None:
-                out = (jnp.max(work) > 0) if op == "OR" else (
-                    jnp.min(work) > 0)
+                if op == "OR":
+                    out = self._pcomb(jnp.max(work), "max") > 0
+                else:
+                    out = self._pcomb(jnp.min(work), "min") > 0
             else:
-                out = red(work)
+                out = self._pcomb(red(work), _sub[seg])
             if e.op == "AVG":
-                cnt = jnp.sum(mask.astype(_float_dtype()))
+                cnt = self._pcomb(jnp.sum(mask.astype(_float_dtype())),
+                                  "add")
                 out = out.astype(_float_dtype()) / jnp.maximum(cnt, 1)
             return None, out
         # per-outer-node segment reduction (sorted by construction)
         sortkey = (ectx.g.node_idx_src if ectx.layout == "csr"
                    else ectx.g.r_node_idx_dst)
-        offs = ectx.g.begin if ectx.layout == "csr" else ectx.g.r_begin
+        offs = (ectx.g.csr_offsets() if ectx.layout == "csr"
+                else ectx.g.csc_offsets())
         segop = {"SUM": "add", "MIN": "min", "MAX": "max"}[seg]
-        per_node = ops.sorted_segment_reduce(work, sortkey, offs,
-                                             ectx.g.n_pad, segop)
+        per_node = self._pcomb(
+            ops.sorted_segment_reduce(work, sortkey, offs,
+                                      ectx.g.n_pad, segop), segop)
         if op in ("AND", "OR"):
             per_node = (per_node > 0) if op == "OR" else (per_node > 0)
             if seg == "MIN":
-                per_node = ops.sorted_segment_reduce(
-                    work, sortkey, offs, ectx.g.n_pad, "min") > 0
+                per_node = self._pcomb(ops.sorted_segment_reduce(
+                    work, sortkey, offs, ectx.g.n_pad, "min"), "min") > 0
         if e.op == "AVG":
-            cnt = ops.sorted_segment_reduce(
+            cnt = self._pcomb(ops.sorted_segment_reduce(
                 mask.astype(_float_dtype()), sortkey, offs,
-                ectx.g.n_pad, "add")
+                ectx.g.n_pad, "add"), "add")
             per_node = per_node.astype(_float_dtype()) / jnp.maximum(cnt, 1)
         # align to the outer context's vector of the source variable
         if outer_ctx is not None and outer_ctx.kind == "node":
@@ -804,9 +840,15 @@ class Lowerer:
             vals = jnp.where(mask, vals, ident)
             red = {"SUM": jnp.sum, "MULT": jnp.prod, "MIN": jnp.min,
                    "MAX": jnp.max, "AND": jnp.all, "OR": jnp.any}[op]
+            r = red(vals)
+            if self.axis is not None and ctx.kind == "edge":
+                if op in ("AND", "OR"):
+                    sub = "min" if op == "AND" else "max"
+                    r = self._pcomb(r.astype(jnp.int8), sub) > 0
+                else:
+                    r = self._pcomb(r, _SEG_OP.get(op, op))
             cur = env[lhs.name]
-            self._wr(env, lhs.name, _coerce(_combine(op, cur, red(vals)),
-                                            dt))
+            self._wr(env, lhs.name, _coerce(_combine(op, cur, r), dt))
             return
         if not isinstance(lhs, A.Field):
             raise LowerError("reduce target must be scalar or field")
@@ -847,7 +889,8 @@ class Lowerer:
                 # pull: reduce along the sorted axis
                 sortkey = (ctx.g.node_idx_src if ctx.layout == "csr"
                            else ctx.g.r_node_idx_dst)
-                offs = ctx.g.begin if ctx.layout == "csr" else ctx.g.r_begin
+                offs = (ctx.g.csr_offsets() if ctx.layout == "csr"
+                        else ctx.g.csc_offsets())
                 seg = ops.sorted_segment_reduce(work, sortkey, offs,
                                                 ctx.g.n_pad, sub)
             elif lhs.driver == ctx.inner_var:
@@ -858,18 +901,20 @@ class Lowerer:
             else:
                 raise LowerError(
                     f"reduce into {lhs.driver}.{lhs.prop} from edge ctx")
+            seg = self._pcomb(seg, sub)
             if op in ("AND", "OR"):
                 seg_b = seg > 0
                 new = _combine(op, arr, seg_b)
             else:
                 new = _coerce(_combine(op, arr, seg.astype(arr.dtype)), dt)
             # only touch rows that had at least one active slot
-            touched = ops.segment_max(
+            touched = self._pcomb(ops.segment_max(
                 ctx.mask.astype(jnp.int8),
                 ctx.inner_ids if lhs.driver == ctx.inner_var else (
                     ctx.g.node_idx_src if ctx.layout == "csr"
                     else ctx.g.r_node_idx_dst),
-                ctx.g.n_pad, sorted_ids=lhs.driver != ctx.inner_var) > 0
+                ctx.g.n_pad, sorted_ids=lhs.driver != ctx.inner_var),
+                "max") > 0
             self._wr(env, key, jnp.where(touched, new, arr))
             return
         raise LowerError("unsupported reduce-assign placement")
@@ -921,16 +966,20 @@ class Lowerer:
         work = jnp.where(ctx.mask, vals, ident)
         segf = ops.segment_min if is_min else ops.segment_max
         m = segf(work, ctx.inner_ids, ctx.g.n_pad, sorted_ids=False)
+        m = self._pcomb(m, "min" if is_min else "max")
         improved = (m < old) if is_min else (m > old)
         new = jnp.where(improved, m, old)
         self._wr(env, key, new)
         if not s.lhs_extra:
             return
         # payload select: find the winning slot deterministically (lowest
-        # slot id among achievers — the reference's winner is whichever
-        # thread's CAS lands; ours is reproducible)
+        # global slot id among achievers — the reference's winner is
+        # whichever thread's CAS lands; ours is reproducible, and under
+        # edge sharding the winner is agreed on via a pmin over global
+        # slot ids followed by a one-hot psum of the payload)
         extra_vals = [self.eval(r, env, ctx) for r in s.rhs_extra]
         need_slot = any(jnp.asarray(v).ndim >= 1 for v in extra_vals)
+        mine = None
         if need_slot:
             slot_ids = jnp.arange(ctx.g.e_pad, dtype=jnp.int32)
             win = ctx.mask & (work == m[ctx.inner_ids])
@@ -938,6 +987,14 @@ class Lowerer:
                 ctx.g.e_pad, jnp.int32))
             win_slot = ops.segment_min(cand, ctx.inner_ids, ctx.g.n_pad,
                                        sorted_ids=False)
+            if self.axis is not None:
+                has_win = win_slot < ctx.g.e_pad
+                e_base = (jnp.asarray(ctx.g.e_base, jnp.int32)
+                          if ctx.g.e_base is not None else jnp.int32(0))
+                g_slot = jnp.where(has_win, win_slot + e_base,
+                                   jnp.iinfo(jnp.int32).max)
+                g_best = jax.lax.pmin(g_slot, self.axis)
+                mine = has_win & (g_slot == g_best)
             win_slot = jnp.minimum(win_slot, ctx.g.e_pad - 1)
         for lhs_e, rhs_v in zip(s.lhs_extra, extra_vals):
             if not isinstance(lhs_e, A.Field) or \
@@ -950,6 +1007,16 @@ class Lowerer:
             rv = jnp.asarray(rhs_v)
             if rv.ndim >= 1:
                 payload = _coerce(rv, edt)[win_slot]
+                if mine is not None:
+                    # exactly one shard owns the winning global slot;
+                    # sum-select it across the axis (dtype-preserving)
+                    wide = (payload.astype(_float_dtype())
+                            if jnp.issubdtype(jnp.dtype(edt), jnp.floating)
+                            else payload.astype(jnp.int32))
+                    wide = jnp.where(mine, wide, 0)
+                    wide = jax.lax.psum(wide, self.axis)
+                    payload = (wide > 0) if jnp.dtype(edt) == jnp.bool_ \
+                        else wide.astype(edt)
             else:
                 payload = _coerce(rv, edt)
             self._wr(env, ekey, jnp.where(improved, payload, eold))
@@ -1116,6 +1183,15 @@ class Lowerer:
             env[_DONE] = jnp.asarray(True)
 
     def _exec_bfs(self, s: A.BFS, env, ctx):
+        if self.axis is not None:
+            # The reference lowers BFS to level-sync while loops before
+            # superstep formation for its distributed backend
+            # (gm_gps_opt_transform_bfs.cc); ours requires the same
+            # rewrite, which is not wired into the sharded path yet.
+            raise LowerError("InBFS/InDFS not supported in distributed "
+                             "lowering yet; rewrite as a level-sync "
+                             "While loop (the reference GPS backend "
+                             "applies the same transform)")
         from .lower_bfs import exec_bfs
         exec_bfs(self, s, env, ctx)
 
@@ -1141,9 +1217,9 @@ class CompiledProc:
     def name(self):
         return self.proc.name
 
-    def _bind(self, g: Graph, args, kwargs):
+    def _bind(self, g: Graph, args, kwargs, axis=None):
         env: Dict = {}
-        lw = Lowerer(self.proc, g)
+        lw = Lowerer(self.proc, g, axis=axis)
         pos = list(args)
         out_names = []
         for decl in self.proc.args:
