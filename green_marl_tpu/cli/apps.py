@@ -45,7 +45,8 @@ def make_pagerank() -> UserMain:
 def make_hop_dist() -> UserMain:
     m = UserMain("hop_dist", "Level-synchronous BFS distances (hop_dist.gm)")
     m.declare_scalar("root", bio.GMTYPE_NODE, True, False, default=0)
-    m.declare_property("dist", bio.GMTYPE_INT, False, True, GM_NODEPROP)
+    m.declare_property("dist", bio.GMTYPE_INT, False, True, GM_NODEPROP,
+                       dump_count=10)  # hop_dist_main.cc prints dist[0..9]
 
     def run(ctx: RunContext) -> Dict:
         from ..models.hop_dist import hop_dist
@@ -60,7 +61,8 @@ def make_sssp() -> UserMain:
     m = UserMain("sssp", "Bellman-Ford SSSP (sssp.gm)")
     m.declare_scalar("root", bio.GMTYPE_NODE, True, False, default=0)
     m.declare_property("len", bio.GMTYPE_INT, True, False, GM_EDGEPROP)
-    m.declare_property("dist", bio.GMTYPE_INT, False, True, GM_NODEPROP)
+    m.declare_property("dist", bio.GMTYPE_INT, False, True, GM_NODEPROP,
+                       dump_count=10)  # hop_dist_main.cc prints dist[0..9]
 
     def run(ctx: RunContext) -> Dict:
         import jax.numpy as jnp
@@ -84,8 +86,8 @@ def make_triangle_counting() -> UserMain:
     m.declare_scalar("return", bio.GMTYPE_LONG, False, True)
 
     def run(ctx: RunContext) -> Dict:
-        from ..models.triangle import triangle_count
-        t = triangle_count(ctx.graph)
+        from ..models.triangle import triangle_count_literal
+        t = triangle_count_literal(ctx.graph)
         print(f"number of triangles: {t}")
         return {"return": t}
 

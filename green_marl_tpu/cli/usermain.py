@@ -53,6 +53,7 @@ class Schema:
     is_input: bool
     is_output: bool
     kind: str              # node/edge/scalar
+    dump_count: int = 0    # per-app print count (0 = use -GMDumpValues)
 
 
 @dataclass
@@ -112,8 +113,10 @@ class UserMain:
                 name, py_t,
                 None if default is None else str(default), "input argument")
 
-    def declare_property(self, name, t, is_input, is_output, kind):
-        self.schemas.append(Schema(name, t, is_input, is_output, kind))
+    def declare_property(self, name, t, is_input, is_output, kind,
+                         dump_count: int = 0):
+        self.schemas.append(Schema(name, t, is_input, is_output, kind,
+                                   dump_count))
 
     def set_run(self, fn):
         self.run_fn = fn
@@ -209,9 +212,16 @@ class UserMain:
                 n = (ctx.graph.num_nodes if s.kind == GM_NODEPROP
                      else ctx.graph.num_edges)
                 arr = arr[:n]
-                for i in range(min(k, n)):
+                kk = s.dump_count or k
+                for i in range(min(kk, n)):
                     print(f"{s.name}[{i}] = {_fmt(arr[i], s.type)}")
                 print(f"CRC {s.name} {array_checksum_hex(arr)}")
+                # Shoal-compatible CRC-16/CCITT-FALSE line (same algorithm
+                # as the stub shl.h used by the parity harness,
+                # scripts/parity.py) — bit-exact comparable for integer
+                # outputs like hop_dist's dist[].
+                from ..utils.crc import crc16_hex
+                print(f"CRC16 {s.name} {crc16_hex(arr)}")
 
     def store(self, ctx: RunContext, outputs: Dict[str, Any]) -> None:
         if not self.O.get_option("GMDumpGraph"):

@@ -170,3 +170,111 @@ def triangle_count_np(begin, node_idx):
                 if u in rows[w]:
                     T += 1
     return T
+
+
+# ---------------------------------------------------------------------------
+# Literal semantics (directed graphs, multigraph slot counting)
+# ---------------------------------------------------------------------------
+
+class LiteralCtx(NamedTuple):
+    f_dst: jax.Array       # [F_pad] suffix-slot dst values (sorted per row)
+    jbase: jax.Array       # [F_pad] first strictly-greater pair slot
+    pair_cum: jax.Array    # [F_pad+1]
+    num_wedges: int
+
+
+def build_literal(g: Graph) -> LiteralCtx:
+    """Host-side wedge schedule for the literal ``triangle_counting.gm``
+    semantics: ``Foreach(u: v.Nbrs)(u > v) Foreach(w: v.Nbrs)(w > u)``
+    iterates CSR *slots* with strict value ordering, so parallel edges
+    multiply wedge counts exactly as the generated OpenMP loops do
+    (``gm_cpp_gen_foreach.cc:33-328``)."""
+    begin = np.asarray(g.begin)
+    dst = np.asarray(g.node_idx)[: g.num_edges].astype(np.int64)
+    N = g.num_nodes
+    deg = np.diff(begin).astype(np.int64)
+    src = np.repeat(np.arange(N, dtype=np.int64), deg)
+
+    keep = dst > src                     # suffix of each semi-sorted row
+    f_dst_np = dst[keep]
+    f_src = src[keep]
+    f_cnt = np.bincount(f_src, minlength=N).astype(np.int64)
+    f_begin = np.zeros(N + 1, np.int64)
+    np.cumsum(f_cnt, out=f_begin[1:])
+    F = int(f_dst_np.shape[0])
+
+    # strictly-greater pair base: skip the tail of the current equal run
+    slots = np.arange(F, dtype=np.int64)
+    row_end = f_begin[f_src + 1]
+    # run ends: position of last slot with the same (row, value)
+    if F:
+        same_next = np.zeros(F, bool)
+        same_next[:-1] = (f_dst_np[1:] == f_dst_np[:-1]) & \
+            (f_src[1:] == f_src[:-1])
+        # eq_after[i] = number of following slots in the same equal run
+        run_end = np.empty(F, np.int64)
+        idx = F - 1
+        # vectorized run-end: positions where run breaks
+        brk = np.nonzero(~same_next)[0]          # last slot of each run
+        run_id = np.zeros(F, np.int64)
+        run_id[1:] = (~same_next[:-1]).cumsum()
+        run_end = brk[run_id]
+        jbase_np = run_end + 1
+    else:
+        jbase_np = np.zeros(0, np.int64)
+    pairs = np.maximum(row_end - jbase_np, 0)
+
+    f_pad = round_up(max(F, 1))
+    pair_cum = np.zeros(f_pad + 1, np.int64)
+    pair_cum[1:F + 1] = np.cumsum(pairs)
+    if F < f_pad:
+        pair_cum[F + 1:] = pair_cum[F] if F else 0
+    f_dst_pad = np.full(f_pad, N, np.int64)
+    f_dst_pad[:F] = f_dst_np
+    jbase_pad = np.zeros(f_pad, np.int64)
+    jbase_pad[:F] = jbase_np
+
+    return LiteralCtx(
+        f_dst=jnp.asarray(f_dst_pad),
+        jbase=jnp.asarray(jbase_pad),
+        pair_cum=jnp.asarray(pair_cum),
+        num_wedges=int(pair_cum[F]) if F else 0,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_wedges", "chunk"))
+def _count_wedges_literal(g: Graph, f_dst, jbase, pair_cum,
+                          num_wedges: int, chunk: int) -> jax.Array:
+    """hit(k) = HasEdgeTo(w_k, u_k) over the *original* directed CSR."""
+    from ..ops.segment import has_edge_to
+    num_chunks = (num_wedges + chunk - 1) // chunk
+
+    def do_chunk(ci, acc):
+        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int64)
+        valid = k < num_wedges
+        kk = jnp.minimum(k, num_wedges - 1)
+        i = jnp.searchsorted(pair_cum, kk, side="right") - 1
+        off = kk - pair_cum[i]
+        j = jbase[i] + off
+        u = f_dst[i]
+        w = f_dst[jnp.clip(j, 0, f_dst.shape[0] - 1)]
+        uu = jnp.clip(u, 0, g.num_nodes - 1).astype(g.node_dtype)
+        ww = jnp.clip(w, 0, g.num_nodes - 1).astype(g.node_dtype)
+        hit = has_edge_to(g, ww, uu) & valid & (u < g.num_nodes)
+        return acc + jnp.sum(hit.astype(jnp.int64))
+
+    return jax.lax.fori_loop(0, num_chunks, do_chunk,
+                             jnp.zeros((), jnp.int64))
+
+
+def triangle_count_literal(g: Graph, chunk: int = 1 << 20) -> int:
+    """Exact reference semantics on arbitrary (directed, multi-) graphs —
+    the CLI/parity entry point.  ``triangle_count`` (degree-oriented DAG)
+    remains the fast path for symmetric simple graphs, where both agree."""
+    ctx = build_literal(g)
+    if ctx.num_wedges == 0:
+        return 0
+    chunk = min(chunk, round_up(ctx.num_wedges))
+    t = _count_wedges_literal(g, ctx.f_dst, ctx.jbase, ctx.pair_cum,
+                              ctx.num_wedges, chunk)
+    return int(t)
