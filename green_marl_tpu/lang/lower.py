@@ -182,6 +182,45 @@ class EdgeCtx:
         return self.g.e_rev2idx
 
 
+@dataclasses.dataclass
+class WedgeCtx:
+    """Second-hop neighbor iteration flattened to the wedge space.
+
+    Lowers ``Foreach(w: u.Nbrs)`` / ``Sum(w: u.Nbrs){..}`` where ``u`` is
+    itself a per-slot value of an enclosing parallel context (the pattern
+    the reference rewrites with ``CommonNbrs`` / sorted intersection,
+    ``gm_cpp_opt_common_nbr.cc``; wedge enumeration of
+    ``triangle_counting.gm``).  Wedge ``w`` belongs to outer context
+    position ``sel[w]`` and visits the neighbor at ``slot[w]`` of its
+    driver's row.  Built eagerly (sizes depend on the concrete graph), so
+    it is unavailable inside traced loops.
+    """
+    g: Graph
+    var: str                      # inner loop variable
+    outer_var: str                # driver name
+    layout: str                   # second-hop direction: "csr" | "csc"
+    sel: jax.Array                # [W] outer ctx position per wedge
+    slot: jax.Array               # [W] second-hop slot (layout arrays)
+    inner_ids: jax.Array          # [W] neighbor node id
+    outer_ids: jax.Array          # [W] driver node id
+    mask: jax.Array               # [W]
+    parent: object                # enclosing ctx (Node/Edge/Wedge)
+    parent_len: int
+    parent_offsets: np.ndarray    # [L+1] wedge run offsets per outer pos
+    locals: Set[str] = dataclasses.field(default_factory=set)
+
+    kind = "wedge"
+
+    def with_mask(self, m):
+        return dataclasses.replace(self, mask=m)
+
+    def slots(self):
+        """CSR edge-property slot per wedge (ToEdge / edge props)."""
+        if self.layout == "csr":
+            return self.slot
+        return self.g.e_rev2idx[self.slot]
+
+
 _F = "F$"          # env-key prefix for properties (separate namespace,
 #                    mirroring curr_sym/curr_field symtab split)
 _RET = "__ret__"
@@ -344,6 +383,15 @@ class Lowerer:
             if ctx.kind == "node":
                 if name == ctx.var or name in ctx.aliases:
                     return ctx.ids
+            elif ctx.kind == "wedge":
+                if name == ctx.var:
+                    return ctx.inner_ids
+                if name == ctx.outer_var:
+                    return ctx.outer_ids
+                v = self._ident(name, env, ctx.parent)
+                if isinstance(v, jax.Array) and v.ndim >= 1 and                         v.shape[0] == ctx.parent_len:
+                    return v[ctx.sel]
+                return v
             else:
                 if name == ctx.inner_var:
                     return ctx.inner_ids
@@ -477,6 +525,19 @@ class Lowerer:
                 raise LowerError("PickRandom needs RNG plumbing")
             raise LowerError(f"graph builtin {e.name}")
         if e.driver is None:
+            # driverless math builtins (gm_builtin.cc table: Log, Exp, ...)
+            args = [self.eval(a, env, ctx) for a in e.args]
+            fd = _float_dtype()
+            math1 = {"log": jnp.log, "exp": jnp.exp, "sqrt": jnp.sqrt,
+                     "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+                     "floor": jnp.floor, "ceil": jnp.ceil}
+            if name in math1 and len(args) == 1:
+                return math1[name](jnp.asarray(args[0], fd))
+            if name == "abs" and len(args) == 1:
+                return jnp.abs(args[0])
+            if name == "pow" and len(args) == 2:
+                return jnp.power(jnp.asarray(args[0], fd),
+                                 jnp.asarray(args[1], fd))
             raise LowerError(f"global builtin {e.name}")
         ids = self._ident(e.driver, env, ctx)
         if name in ("degree", "outdegree", "numnbrs"):
@@ -484,7 +545,9 @@ class Lowerer:
         if name in ("indegree", "numinnbrs"):
             return g.in_degree()[ids]
         if name == "toedge":
-            if ctx is None or ctx.kind != "edge" or e.driver != ctx.inner_var:
+            if ctx is None or ctx.kind not in ("edge", "wedge") or \
+                    e.driver != getattr(ctx, "inner_var", None) and \
+                    e.driver != getattr(ctx, "var", None):
                 raise LowerError("ToEdge() outside a neighbor loop")
             return ctx.slots()
         if name in ("fromnode", "from"):
@@ -496,6 +559,11 @@ class Lowerer:
             dst = self.eval(e.args[0], env, ctx)
             src, dst = jnp.broadcast_arrays(jnp.asarray(ids), dst)
             return ops.has_edge_to(g, src, dst)
+        if name == "hasedgefrom":
+            self._no_random_read("HasEdgeFrom")
+            src = self.eval(e.args[0], env, ctx)
+            idv, src = jnp.broadcast_arrays(jnp.asarray(ids), src)
+            return ops.has_edge_to(g, src, idv)
         if name == "isnbrfrom":
             self._no_random_read("IsNbrFrom")
             src = self.eval(e.args[0], env, ctx)
@@ -549,12 +617,54 @@ class Lowerer:
             mask = mask & (outer == v)
             parent = ctx if (ctx is not None and ctx.kind == "node") else None
         else:
-            raise LowerError("neighbor iteration nested inside a neighbor "
-                             "loop (wedge enumeration) is not lowerable; "
-                             "use CommonNbrs/HasEdgeTo forms")
+            return self._wedge_ctx(it, layout, env, ctx)
         return EdgeCtx(g=g, layout=layout, outer_var=src_name,
                        inner_var=it.var, outer_ids=outer, inner_ids=inner,
                        mask=mask, parent=parent)
+
+    def _wedge_ctx(self, it: A.Iterator, layout: str, env, ctx) -> WedgeCtx:
+        """Flatten a nested neighbor iteration to its wedge space."""
+        g = self.g
+        u = self._ident(it.source, env, ctx)
+        if isinstance(u, jax.core.Tracer) or isinstance(ctx.mask,
+                                                        jax.core.Tracer):
+            raise LowerError(
+                "nested neighbor iteration inside a traced loop is not "
+                "lowerable (wedge space size depends on data)")
+        u_np = np.asarray(u).astype(np.int64)
+        m_np = np.asarray(ctx.mask)
+        L = int(u_np.shape[0])
+        if layout == "csr":
+            begin = np.asarray(g.begin).astype(np.int64)
+            neigh = g.node_idx
+        else:
+            begin = np.asarray(g.r_begin).astype(np.int64)
+            neigh = g.r_node_idx
+        uc = np.clip(u_np, 0, g.num_nodes - 1)
+        deg = np.where(m_np & (u_np < g.num_nodes),
+                       begin[uc + 1] - begin[uc], 0)
+        cum = np.cumsum(deg)
+        W = int(cum[-1]) if L else 0
+        from ..graph.csr import round_up as _ru
+        w_pad = _ru(max(W, 1))
+        w_ix = np.arange(w_pad, dtype=np.int64)
+        sel = np.searchsorted(cum, np.minimum(w_ix, max(W - 1, 0)),
+                              side="right")
+        sel = np.minimum(sel, L - 1)
+        excl = cum[sel] - deg[sel]
+        slot = begin[uc[sel]] + (np.minimum(w_ix, max(W - 1, 0)) - excl)
+        slot = np.clip(slot, 0, int(np.asarray(neigh).shape[0]) - 1)
+        mask_w = w_ix < W
+        offsets = np.concatenate([np.zeros(1, np.int64), cum])
+        sel_j = jnp.asarray(sel.astype(np.int32))
+        slot_j = jnp.asarray(slot.astype(np.int32))
+        return WedgeCtx(
+            g=g, var=it.var, outer_var=it.source, layout=layout,
+            sel=sel_j, slot=slot_j,
+            inner_ids=jnp.asarray(neigh)[slot_j],
+            outer_ids=jnp.asarray(uc.astype(np.int32))[sel_j],
+            mask=jnp.asarray(mask_w), parent=ctx, parent_len=L,
+            parent_offsets=offsets)
 
     def _node_ctx(self, it: A.Iterator, env, ctx, aliases=()) -> NodeCtx:
         g = self.g
@@ -623,6 +733,8 @@ class Lowerer:
                 vals = (mask & body).astype(jnp.int32)
             else:
                 vals = jnp.broadcast_to(jnp.asarray(body), mask.shape)
+        if ectx.kind == "wedge":
+            return self._finish_wedge_reduce(e, vals, mask, ectx), None
         op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND"}.get(e.op, e.op)
         if op in ("AND", "OR"):
             work = vals.astype(jnp.int8)
@@ -683,6 +795,38 @@ class Lowerer:
                 return per_node, None
         ids = self._ident(ectx.outer_var, env, outer_ctx)
         return None, per_node[ids]
+
+    def _finish_wedge_reduce(self, e: A.ReduceExpr, vals, mask,
+                             wctx: WedgeCtx):
+        """Reduce wedge-space values back to the enclosing ctx's space
+        (fixed-order segment reduction over the static wedge runs)."""
+        op = {"COUNT": "SUM", "EXIST": "OR", "ALL": "AND"}.get(e.op, e.op)
+        if op in ("AND", "OR"):
+            work = vals.astype(jnp.int8)
+            sub = "min" if op == "AND" else "max"
+            ident = _identity("MIN" if op == "AND" else "MAX", jnp.int8)
+        else:
+            sub = {"SUM": "add", "MIN": "min", "MAX": "max",
+                   "AVG": "add"}.get(op)
+            if sub is None:
+                raise LowerError(f"{op} over nested neighbors")
+            work = vals
+            if e.op == "AVG":
+                work = work.astype(_float_dtype())
+            ident = _identity("SUM" if e.op == "AVG" else op, work.dtype)
+        work = jnp.where(mask, work, ident)
+        offs = jnp.asarray(wctx.parent_offsets.astype(np.int32))
+        ids = wctx.sel
+        out = ops.sorted_segment_reduce(work, ids, offs,
+                                        wctx.parent_len, sub)
+        if op in ("AND", "OR"):
+            out = out > 0
+        if e.op == "AVG":
+            cnt = ops.sorted_segment_reduce(
+                mask.astype(_float_dtype()), ids, offs,
+                wctx.parent_len, "add")
+            out = out / jnp.maximum(cnt, 1)
+        return out
 
     # ---- statements ----------------------------------------------------------
     def exec_stmt(self, s: A.Stmt, env, ctx):
@@ -814,6 +958,17 @@ class Lowerer:
                 raise LowerError(
                     f"plain write to {lhs.prop}[{lhs.driver}] keyed by a "
                     "neighbor variable (race; use a reduction)")
+        # self-update pattern ``x.p = x.p + e`` in a parallel context:
+        # the reference emits a racy non-atomic update here (e.g.
+        # adamicAdar2's ``from.cnt++``); the deterministic TPU semantics
+        # is the equivalent reduction.
+        if ctx is not None and isinstance(rhs, A.BinOp) and \
+                rhs.op in ("+", "*") and isinstance(rhs.lhs, A.Field) and \
+                rhs.lhs.prop == lhs.prop and rhs.lhs.driver == lhs.driver:
+            red = A.ReduceAssign(lhs=lhs, op="SUM" if rhs.op == "+"
+                                 else "MULT", rhs=rhs.rhs, bind=None)
+            self._exec_reduce_assign(red, env, ctx)
+            return
         # scalar node/edge driver (e.g. root.dist = 0)
         ids = self._ident(lhs.driver, env, ctx)
         val = _coerce(self.eval(rhs, env, ctx), dt)
@@ -867,6 +1022,37 @@ class Lowerer:
             val = jnp.broadcast_to(jnp.asarray(val), arr.shape)
             new = _coerce(_combine(op, arr, val), dt)
             self._wr(env, key, jnp.where(ctx.mask, new, arr))
+            return
+        if ctx.kind == "wedge":
+            val = self.eval(s.rhs, env, ctx)
+            vals = jnp.broadcast_to(jnp.asarray(val), ctx.mask.shape)
+            if op in ("AND", "OR"):
+                work = vals.astype(jnp.int8)
+                sub = "min" if op == "AND" else "max"
+                ident = _identity("MIN" if op == "AND" else "MAX", jnp.int8)
+            else:
+                ident = _identity(op, vals.dtype)
+                sub = _SEG_OP.get(op)
+                if sub is None:
+                    raise LowerError(f"{op}= in a wedge context")
+                work = vals
+            work = jnp.where(ctx.mask, work, ident)
+            if loc != "N":
+                raise LowerError("edge-property reduce in wedge context")
+            if lhs.driver == ctx.var:
+                key_ids = ctx.inner_ids
+            elif lhs.driver == ctx.outer_var:
+                key_ids = ctx.outer_ids
+            else:
+                raise LowerError(
+                    f"reduce into {lhs.driver}.{lhs.prop} from wedge ctx")
+            seg = {"add": ops.segment_sum, "min": ops.segment_min,
+                   "max": ops.segment_max}[sub](
+                work, key_ids, ctx.g.n_pad, sorted_ids=False)
+            if op in ("AND", "OR"):
+                seg = seg > 0
+            new = _coerce(_combine(op, arr, seg), dt)
+            self._wr(env, key, new)
             return
         if ctx.kind == "edge":
             val = self.eval(s.rhs, env, ctx)
@@ -1290,21 +1476,32 @@ class CompiledProc:
 
 
 def compile_source(text: str, name: Optional[str] = None,
-                   filename: str = "<input>") -> CompiledProc:
-    """Parse + typecheck + lower a Green-Marl source string."""
+                   filename: str = "<input>",
+                   optimize: bool = True) -> CompiledProc:
+    """Parse + typecheck + optimize + lower a Green-Marl source string."""
     from .parser import parse
     procs = parse(text, filename)
-    return _pick(procs, name)
+    return _pick(procs, name, optimize)
 
 
-def compile_file(path: str, name: Optional[str] = None) -> CompiledProc:
+def compile_file(path: str, name: Optional[str] = None,
+                 optimize: bool = True) -> CompiledProc:
     from .parser import parse_file
     procs = parse_file(path)
-    return _pick(procs, name)
+    return _pick(procs, name, optimize)
 
 
-def _pick(procs: List[A.Procedure], name: Optional[str]) -> CompiledProc:
+def _pick(procs: List[A.Procedure], name: Optional[str],
+          optimize: bool = True) -> CompiledProc:
+    """Full pipeline (reference driver ``gm_main.cc:152-290``):
+    typecheck -> backend-independent optimizer (``gm_ind_opt.cc:15-24``)
+    -> re-typecheck (optimizer-introduced temporaries get fresh
+    annotations) -> lower."""
     typecheck(procs)
+    if optimize:
+        from . import opt
+        procs = [opt.optimize(p, clone=True) for p in procs]
+        typecheck(procs)
     if name is None:
         cands = [p for p in procs if not p.is_local]
         proc = cands[-1]

@@ -257,3 +257,78 @@ def multi_pagerank_binned(bp, out_deg_binned: jax.Array,
     (rank, diff, _), stats = while_loop(step, not_done, state0, max_iter)
     return MultiPageRankResult(rank=rank, diff=diff,
                                iterations=stats.iterations)
+
+
+class BitBfsResult(NamedTuple):
+    visited: jax.Array     # [n_rows, LANES] uint8 bit planes (binned order)
+    levels_run: jax.Array
+    reached: jax.Array     # [B] per-instance reached-node counts
+    traversed: jax.Array   # [B] per-instance Graph500 traversed edges
+
+
+def _bit_popstats(newly, deg_rows, lanes, bits=8):
+    """Per-instance (lane*8+bit) counts and degree-weighted counts from a
+    [n_rows, lanes] uint8 plane."""
+    one = jnp.ones((), newly.dtype)
+    cnts = []
+    travs = []
+    for i in range(bits):
+        p = ((newly >> i) & one).astype(jnp.int32)      # [n_rows, lanes]
+        cnts.append(jnp.sum(p, axis=0))                  # [lanes]
+        travs.append(jnp.sum(p * deg_rows[:, None], axis=0,
+                             dtype=jnp.int64))
+    # instance index convention: b = lane * 8 + bit
+    cnt = jnp.stack(cnts, axis=1).reshape(-1)            # [lanes*8]
+    trav = jnp.stack(travs, axis=1).reshape(-1)
+    return cnt, trav
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def multi_source_bfs_bits(bp, roots: jax.Array, deg_rows: jax.Array,
+                          max_iter: Optional[int] = None) -> BitBfsResult:
+    """Bit-packed multi-source BFS: 8 instances per uint8 lane — with the
+    engine's 128-lane tables, 1024 BFS instances per row gather.
+
+    The row-gather engine is issue-rate-bound (~9.5 ns/row on v5e
+    regardless of payload), so packing instances into bits multiplies
+    aggregate traversal throughput by the pack factor.  Plays the role of
+    running the reference binary B times (it has no batched mode;
+    SURVEY.md §2.10) at ~1/1000 the cost.
+
+    ``roots``: [B<=lanes*8] original node ids; instance b lives at lane
+    b//8, bit b%8.  ``deg_rows``: [n_rows] int32 out-degrees (binned,
+    padded) for Graph500 accounting.  Level arrays are not materialized —
+    callers needing distances use ``multi_source_bfs_binned`` or run one
+    ``level_of`` pass per level plane.
+    """
+    if max_iter is None:
+        max_iter = bp.n_nodes + 1
+    B = roots.shape[0]
+    lanes = (B + 7) // 8
+    root_rows = bp.inv_perm[roots]
+    node_rows = bp.node_rows_mask()
+
+    bits0 = jnp.zeros((bp.n_rows, lanes), jnp.uint8)
+    b_ix = jnp.arange(B, dtype=jnp.int32)
+    bits0 = bits0.at[root_rows, b_ix // 8].max(
+        (jnp.ones((), jnp.uint8) << (b_ix % 8).astype(jnp.uint8)))
+    bits0 = jnp.where(node_rows, bits0, jnp.zeros((), jnp.uint8))
+
+    cnt0, trav0 = _bit_popstats(bits0, deg_rows, lanes)
+
+    def step(state):
+        visited, frontier, depth, cnt, trav = state
+        hit = _binned.edge_map(bp, frontier, "bor")
+        newly = hit & ~visited
+        newly = jnp.where(node_rows, newly, jnp.zeros((), jnp.uint8))
+        c, t = _bit_popstats(newly, deg_rows, lanes)
+        return (visited | newly, newly, depth + 1, cnt + c, trav + t)
+
+    def not_done(state):
+        return jnp.any(state[1] != 0)
+
+    state0 = (bits0, bits0, jnp.zeros((), jnp.int32), cnt0, trav0)
+    (visited, _, _, cnt, trav), stats = while_loop(
+        step, not_done, state0, max_iter)
+    return BitBfsResult(visited=visited, levels_run=stats.iterations,
+                        reached=cnt[:B], traversed=trav[:B])

@@ -47,17 +47,24 @@ from ..graph.csr import Graph, round_up
 # Top bin width: hubs beyond this get chunked + second-stage reduce.
 W_MAX = 4096
 
+def _bor_reduce(x, axis):
+    """Bitwise-OR reduction (for bit-packed instance planes)."""
+    return jax.lax.reduce(x, np.zeros((), x.dtype)[()],
+                          jax.lax.bitwise_or, (axis,))
+
+
 _REDUCE = {
     "sum": (jnp.sum, 0),
     "min": (jnp.min, None),   # identity depends on dtype
     "max": (jnp.max, None),
     "or": (jnp.max, 0),       # boolean OR as max over {0,1}
+    "bor": (_bor_reduce, 0),  # bitwise OR (uint8/uint32 bit planes)
 }
 
 
 def op_identity(op: str, dtype) -> np.generic:
     dtype = np.dtype(dtype)
-    if op in ("sum", "or"):
+    if op in ("sum", "or", "bor"):
         return dtype.type(0)
     big = np.inf if dtype.kind == "f" else np.iinfo(dtype).max
     small = -np.inf if dtype.kind == "f" else np.iinfo(dtype).min
@@ -300,10 +307,22 @@ def edge_map(bp: BinnedPull, table: jax.Array, op: str = "sum",
             rows = combine(rows, w if w.ndim > 1 else w[:, None])
         chunk_red = reduce_fn(
             rows.reshape(bp.n_hub_chunks, bp.w_max, B), axis=1)
-        seg = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
-               "max": jax.ops.segment_max, "or": jax.ops.segment_max}[op]
-        hub_out = seg(chunk_red, bp.hub_owner, num_segments=bp.n_hub,
-                      indices_are_sorted=True)
+        if op == "bor":
+            # bitwise OR across chunks: segment_max per bit plane
+            bits = np.dtype(table.dtype).itemsize * 8
+            acc = jnp.zeros((bp.n_hub, B), table.dtype)
+            for i in range(bits):
+                plane = (chunk_red >> i) & jnp.ones((), table.dtype)
+                m = jax.ops.segment_max(plane, bp.hub_owner,
+                                        num_segments=bp.n_hub,
+                                        indices_are_sorted=True)
+                acc = acc | (m << i)
+            hub_out = acc
+        else:
+            seg = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+                   "max": jax.ops.segment_max, "or": jax.ops.segment_max}[op]
+            hub_out = seg(chunk_red, bp.hub_owner, num_segments=bp.n_hub,
+                          indices_are_sorted=True)
         if op == "min" and np.dtype(table.dtype).kind != "f":
             pass  # segment_min identity for ints is dtype max — fine
         parts.append(hub_out.astype(table.dtype))

@@ -121,3 +121,30 @@ def test_multi_pagerank_binned_matches_scan_version(rng):
     r_got = np.asarray(bp.from_binned(got.rank[:bp.n_nodes]))
     np.testing.assert_allclose(r_got, r_ref, rtol=2e-4, atol=1e-7)
     assert int(got.iterations) == int(ref.iterations)
+
+
+def test_multi_source_bfs_bits_matches_int_version(rng):
+    g, src, dst = random_graph(rng, n=300, m=2500, skew=True)
+    bp = binned.binned_in(g, w_max=16)
+    B = 20
+    roots = jnp.asarray(rng.integers(0, g.num_nodes, B).astype(np.int32))
+    deg = bp.to_binned(g.out_degree()[:g.num_nodes]).astype(jnp.int32)
+    deg_rows = jnp.concatenate(
+        [deg, jnp.zeros((bp.n_rows - bp.n_nodes,), jnp.int32)])
+
+    ref = batched.multi_source_bfs_binned(bp, roots)
+    got = batched.multi_source_bfs_bits(bp, roots, deg_rows)
+
+    d_ref = np.asarray(ref.dist)
+    reached_ref = (d_ref != batched.INT32_MAX)[:bp.n_nodes]
+    np.testing.assert_array_equal(
+        np.asarray(got.reached), reached_ref.sum(axis=0))
+    deg_np = np.asarray(deg)
+    trav_ref = (reached_ref * deg_np[:, None]).sum(axis=0)
+    np.testing.assert_array_equal(np.asarray(got.traversed), trav_ref)
+    # visited bit planes decode to the reached masks
+    vis = np.asarray(got.visited)[:bp.n_nodes]
+    for b in range(B):
+        bits = (vis[:, b // 8] >> (b % 8)) & 1
+        np.testing.assert_array_equal(bits.astype(bool), reached_ref[:, b])
+    assert int(got.levels_run) == int(ref.levels_run)
