@@ -225,6 +225,7 @@ _F = "F$"          # env-key prefix for properties (separate namespace,
 #                    mirroring curr_sym/curr_field symtab split)
 _RET = "__ret__"
 _DONE = "__done__"
+_RNG = "__rng$"    # counter-based RNG draw counter (gm_rand.h analog)
 
 
 # --------------------------------------------------------------------------
@@ -269,13 +270,60 @@ def written_keys(stmt) -> Set[str]:
         elif isinstance(s, A.Return):
             out.add(_RET)
             out.add(_DONE)
-        elif isinstance(s, (A.CallStmt, A.ForeignStmt)):
+        elif isinstance(s, A.CallStmt):
+            # mutating collection verbs write their driver (S.Add(v) etc.)
+            c = s.call
+            if c.driver is not None and \
+                    c.name.lower() in _MUTATE_METHODS:
+                out.add(c.driver)
+        elif isinstance(s, A.ForeignStmt):
             pass
         else:
             raise LowerError(f"unknown statement {type(s).__name__}")
 
     walk(stmt)
     return out
+
+
+# Collection verbs that mutate their driver (gm_builtin.cc mutate_grow/
+# mutate_shrink aux info): a CallStmt on these writes the collection.
+_MUTATE_METHODS = {"add", "remove", "clear", "pushback", "pushfront",
+                   "popback", "popfront", "push", "pop"}
+
+_RNG_BUILTINS = {"uniform", "rand", "pickrandom", "pickrandomnbr"}
+
+
+def _walk_ast(node, fn):
+    """Generic pre-order walk over AST dataclasses/lists."""
+    if node is None:
+        return
+    fn(node)
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        for f in dataclasses.fields(node):
+            _walk_ast(getattr(node, f.name), fn)
+    elif isinstance(node, (list, tuple)):
+        for x in node:
+            _walk_ast(x, fn)
+
+
+def uses_rng(node) -> bool:
+    found = []
+
+    def fn(n):
+        if isinstance(n, A.Builtin) and n.name.lower() in _RNG_BUILTINS:
+            found.append(n)
+    _walk_ast(node, fn)
+    return bool(found)
+
+
+def contains_bfs(node) -> bool:
+    found = []
+
+    def fn(n):
+        if isinstance(n, A.BFS):
+            found.append(n)
+    _walk_ast(node, fn)
+    return bool(found)
 
 
 def declared_keys(stmt) -> Set[str]:
@@ -320,6 +368,10 @@ class Lowerer:
         # message combine, SURVEY.md §2.6).
         self.axis = axis
         self.graphs: Set[str] = set()
+        # collection registry: name -> "NSET"|"NSEQ"|"NORDER"
+        self.collections: Dict[str, str] = {}
+        # unique per-call-site RNG stream id (see _rng_uniform)
+        self._rng_site = 0
         # property registry: name -> ("N"|"E", dtype)
         self.props: Dict[str, Tuple[str, object]] = {}
         self.scalar_dtypes: Dict[str, object] = {}
@@ -332,6 +384,15 @@ class Lowerer:
                     self.props[name] = (
                         "N" if t.kind == "NODEPROP" else "E",
                         dtype_of_kind(t.elem.kind))
+                elif t.kind == "NSET":
+                    # bitmap over the padded node space (gm_set.h:8);
+                    # stored in env as a [N_pad] bool array
+                    self.collections[name] = "NSET"
+                elif t.kind in ("NSEQ", "NORDER"):
+                    # host-eager sequence (gm_seq.h / gm_order.h);
+                    # iterated with For(x: S.Items) which the reference
+                    # also runs sequentially (gm_cpp_opt_select_par.cc)
+                    self.collections[name] = t.kind
                 elif t.is_collection() or t.kind == "MAP":
                     raise LowerError(
                         f"collection/map argument {name} not lowerable yet")
@@ -358,6 +419,33 @@ class Lowerer:
             raise LowerError(
                 f"{sub} reduction not supported in distributed lowering")
         return f(x, self.axis)
+
+    # ---- RNG (gm_rand.h / per-thread erand48 analog) -----------------------
+    def _rng_uniform(self, env, ctx, shape=()):
+        """Deterministic counter-based uniform draw (threefry).
+
+        The reference seeds one erand48 state per OpenMP thread
+        (``gm_runtime.cc:60-75``); the TPU-native equivalent is a
+        counter-based stream: every call site gets a unique trace-time
+        stream id and every dynamic draw bumps a traced counter carried
+        through loops, so draws are reproducible and vectorize over any
+        context shape.
+        """
+        import jax.random as jr
+        if self.axis is not None:
+            raise LowerError("RNG draws not supported in distributed "
+                             "lowering yet")
+        cnt = env.get(_RNG)
+        if cnt is None:
+            cnt = jnp.zeros((), jnp.uint32)
+        self._rng_site += 1
+        key = jr.fold_in(jr.fold_in(jr.PRNGKey(0), cnt), self._rng_site)
+        env[_RNG] = (cnt + jnp.uint32(1)).astype(jnp.uint32)
+        if ctx is not None:
+            shape = ctx.mask.shape
+        fd = _float_dtype()
+        dt = jnp.float32 if fd == jnp.float32 else fd
+        return jr.uniform(key, shape, dtype=dt)
 
     def _no_random_read(self, what: str):
         """Random-access reads are infeasible under edge sharding — the
@@ -517,12 +605,28 @@ class Lowerer:
         g = self.g
         name = e.name.lower()
         if e.driver is not None and e.driver in self.graphs:
+            # group-assign alias: inside the expansion of
+            # ``G.prop = ... G.Degree() ...`` the graph name stands for
+            # the per-node iteration variable (gm_expand_group_assignment)
+            alias_ids = None
+            if ctx is not None and ctx.kind == "node" and \
+                    e.driver in ctx.aliases:
+                alias_ids = ctx.ids
             if name == "numnodes":
                 return jnp.asarray(g.num_nodes, jnp.int32)
             if name == "numedges":
                 return jnp.asarray(g.num_edges, jnp.int32)
             if name == "pickrandom":
-                raise LowerError("PickRandom needs RNG plumbing")
+                # gm_graph::pick_random_node: uniform over node ids
+                u = self._rng_uniform(env, ctx)
+                v = jnp.floor(u * g.num_nodes).astype(jnp.int32)
+                return jnp.clip(v, 0, g.num_nodes - 1)
+            if alias_ids is not None:
+                ids = alias_ids
+                if name in ("degree", "outdegree", "numnbrs"):
+                    return g.out_degree()[ids]
+                if name in ("indegree", "numinnbrs"):
+                    return g.in_degree()[ids]
             raise LowerError(f"graph builtin {e.name}")
         if e.driver is None:
             # driverless math builtins (gm_builtin.cc table: Log, Exp, ...)
@@ -538,12 +642,47 @@ class Lowerer:
             if name == "pow" and len(args) == 2:
                 return jnp.power(jnp.asarray(args[0], fd),
                                  jnp.asarray(args[1], fd))
+            if name in ("uniform", "rand"):
+                # per-context-slot draw (gm_rand.h uniform)
+                return self._rng_uniform(env, ctx)
             raise LowerError(f"global builtin {e.name}")
+        if e.driver in self.collections:
+            coll = env[e.driver]
+            kind = self.collections[e.driver]
+            if kind == "NSET":
+                if name == "has":
+                    v = self.eval(e.args[0], env, ctx)
+                    return coll[v]
+                if name == "size":
+                    return jnp.sum(coll.astype(jnp.int32))
+            else:
+                if name == "size":
+                    return jnp.asarray(coll.count, jnp.int32)
+                if name == "front":
+                    return coll.items()[0]
+                if name == "back":
+                    return coll.items()[coll.count - 1]
+                if name == "has" and kind == "NORDER":
+                    return coll.has(self.eval(e.args[0], env, ctx))
+            raise LowerError(f"collection builtin {e.name} on "
+                             f"{kind} not lowerable yet")
         ids = self._ident(e.driver, env, ctx)
         if name in ("degree", "outdegree", "numnbrs"):
             return g.out_degree()[ids]
         if name in ("indegree", "numinnbrs"):
             return g.in_degree()[ids]
+        if name == "pickrandomnbr":
+            # uniform over the driver's out-neighbor row; callers guard
+            # Degree()==0 themselves (random_walk_sampling...gm)
+            self._no_random_read("PickRandomNbr")
+            deg = g.out_degree()[ids]
+            u = self._rng_uniform(env, ctx,
+                                  shape=jnp.shape(jnp.asarray(ids)))
+            off = jnp.floor(u * deg).astype(jnp.int32)
+            off = jnp.clip(off, 0, jnp.maximum(deg - 1, 0))
+            slot = g.begin[ids] + off
+            slot = jnp.clip(slot, 0, g.node_idx.shape[0] - 1)
+            return g.node_idx[slot]
         if name == "toedge":
             if ctx is None or ctx.kind not in ("edge", "wedge") or \
                     e.driver != getattr(ctx, "inner_var", None) and \
@@ -681,7 +820,8 @@ class Lowerer:
         if it.source in self.graphs and it.iter_type == "NODES":
             nctx = self._node_ctx(it, env, None)
             return self._reduce_over_nodes(e, env, nctx)
-        if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS", "EDGES"):
+        if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS", "EDGES",
+                            "UP_NBRS", "DOWN_NBRS"):
             ectx = self._edge_ctx(it, env, ctx)
             per_node, scalar = self._reduce_over_edges(e, env, ectx, ctx)
             return per_node if scalar is None else scalar
@@ -852,13 +992,58 @@ class Lowerer:
         elif isinstance(s, A.Return):
             self._exec_return(s, env, ctx)
         elif isinstance(s, A.CallStmt):
-            raise LowerError(f"procedure call {s.call.name} not lowerable")
+            self._exec_call(s.call, env, ctx)
         elif isinstance(s, A.ForeignStmt):
             raise LowerError("foreign C++ statement not lowerable")
         elif isinstance(s, A.BFS):
             self._exec_bfs(s, env, ctx)
         else:
             raise LowerError(f"statement {type(s).__name__} not lowerable")
+
+    def _exec_call(self, b: A.Builtin, env, ctx):
+        """Statement-position builtin call — collection mutators
+        (``gm_set.h``/``gm_seq.h`` verbs; select_par runs collection
+        iteration sequentially, we vectorize Add under the ctx mask)."""
+        name = b.name.lower()
+        if b.driver in self.collections:
+            kind = self.collections[b.driver]
+            cur = env[b.driver]
+            if kind == "NSET":
+                if name == "add":
+                    v = self.eval(b.args[0], env, ctx)
+                    if ctx is None:
+                        self._wr(env, b.driver, cur.at[v].set(True))
+                    else:
+                        upd = jnp.zeros_like(cur).at[v].max(ctx.mask)
+                        self._wr(env, b.driver, cur | upd)
+                    return
+                if name == "remove":
+                    v = self.eval(b.args[0], env, ctx)
+                    if ctx is None:
+                        self._wr(env, b.driver, cur.at[v].set(False))
+                    else:
+                        upd = jnp.zeros_like(cur).at[v].max(ctx.mask)
+                        self._wr(env, b.driver, cur & ~upd)
+                    return
+                if name == "clear":
+                    self._wr(env, b.driver, jnp.zeros_like(cur))
+                    return
+            else:  # NSEQ / NORDER
+                if ctx is not None:
+                    raise LowerError(
+                        f"{b.name} on a sequence inside a parallel loop "
+                        "(order-dependent; the reference serializes "
+                        "collection mutation too)")
+                v = self.eval(b.args[0], env, ctx) if b.args else None
+                if name in ("pushback", "push"):
+                    self._wr(env, b.driver, cur.push_back(v))
+                    return
+                if name == "pushfront":
+                    self._wr(env, b.driver, cur.push_front(v))
+                    return
+            raise LowerError(
+                f"collection method {b.name} on {kind} not lowerable yet")
+        raise LowerError(f"procedure call {b.name} not lowerable")
 
     def _exec_vardecl(self, s: A.VarDecl, env, ctx):
         t = s.type
@@ -870,6 +1055,22 @@ class Lowerer:
                 arr = (self.g.node_prop(0, dt) if loc == "N"
                        else self.g.edge_prop(0, dt))
                 env[_F + name] = arr
+            elif t.kind == "NSET":
+                self.collections[name] = "NSET"
+                env[name] = jnp.zeros((self.g.n_pad,), jnp.bool_)
+                if ctx is not None:
+                    raise LowerError("set local declared inside a "
+                                     "parallel loop not lowerable yet")
+            elif t.kind in ("NSEQ", "NORDER"):
+                from ..runtime.collections import NodeOrder, NodeSeq
+                self.collections[name] = t.kind
+                if ctx is not None:
+                    raise LowerError("sequence local declared inside a "
+                                     "parallel loop not lowerable yet")
+                env[name] = (NodeSeq.empty(self.g.n_pad)
+                             if t.kind == "NSEQ"
+                             else NodeOrder.empty(self.g.n_pad,
+                                                  self.g.n_pad))
             elif t.is_collection() or t.kind == "MAP":
                 raise LowerError(f"collection/map local {name} not "
                                  "lowerable yet")
@@ -955,9 +1156,18 @@ class Lowerer:
                 self._wr(env, key, jnp.where(ctx.mask, val, arr))
                 return
             if lhs.driver == ctx.inner_var:
-                raise LowerError(
-                    f"plain write to {lhs.prop}[{lhs.driver}] keyed by a "
-                    "neighbor variable (race; use a reduction)")
+                # intended write-write conflict ("only one will take
+                # effect" — random_bipartite_matching.gm): the reference
+                # keeps whichever thread's store lands last; we pick a
+                # deterministic winner (lowest slot id), which is a valid
+                # instance of the same nondeterministic spec
+                if loc != "N":
+                    raise LowerError("racy edge-prop write keyed by a "
+                                     "node variable")
+                val = _coerce(self.eval(rhs, env, ctx), dt)
+                self._wr(env, key, self._det_scatter_set(
+                    arr, ctx.inner_ids, val, ctx.mask))
+                return
         # self-update pattern ``x.p = x.p + e`` in a parallel context:
         # the reference emits a racy non-atomic update here (e.g.
         # adamicAdar2's ``from.cnt++``); the deterministic TPU semantics
@@ -975,9 +1185,40 @@ class Lowerer:
         if ctx is None:
             self._wr(env, key, arr.at[ids].set(val))
             return
+        idv = jnp.asarray(ids)
+        if idv.ndim == 1 and idv.shape == ctx.mask.shape:
+            # write keyed by a per-slot local node vector (e.g.
+            # ``Node t = n.Suitor; t.Match = n``) — deterministic
+            # lowest-position-winner scatter (see above)
+            self._wr(env, key, self._det_scatter_set(
+                arr, idv, val, ctx.mask))
+            return
         raise LowerError(
             f"assignment to {lhs.driver}.{lhs.prop} in a "
             f"{ctx.kind} context not lowerable")
+
+    def _det_scatter_set(self, arr, ids_vec, val, mask):
+        """Masked scatter-set with duplicate keys resolved to the lowest
+        context position (reproducible stand-in for the reference's
+        last-CAS-wins nondeterminism).  Rejected under edge sharding,
+        like the reference's distributed backend rejects random writes
+        (gm_gps_new_check_random_write.cc)."""
+        if self.axis is not None:
+            raise LowerError("random scatter write not supported in "
+                             "distributed lowering (the reference GPS "
+                             "backend rejects these too)")
+        L = ids_vec.shape[0]
+        n_rows = arr.shape[0]
+        ids_c = jnp.clip(ids_vec, 0, n_rows - 1)
+        pos = jnp.arange(L, dtype=jnp.int32)
+        cand = jnp.where(mask & (ids_vec >= 0), pos, L)
+        win = ops.segment_min(cand, ids_c, n_rows, sorted_ids=False)
+        touched = win < L
+        winc = jnp.minimum(win, L - 1)
+        vals_b = jnp.broadcast_to(jnp.asarray(val), (L,)) \
+            if jnp.asarray(val).ndim <= 1 else jnp.asarray(val)
+        picked = vals_b[winc].astype(arr.dtype)
+        return jnp.where(touched, picked, arr)
 
     def _exec_reduce_assign(self, s: A.ReduceAssign, env, ctx):
         op = s.op
@@ -1136,7 +1377,9 @@ class Lowerer:
         (reference spinlock path gm_cpp_gen.cc:1563-1742), lowered to a
         scatter-free segment-min + win-mask payload select."""
         is_min = s.op == "MIN"
-        if ctx is None or ctx.kind == "node":
+        if ctx is None or ctx.kind == "node" or isinstance(s.lhs, A.Ident):
+            # scalar-target argminmax reduces over the whole (possibly
+            # edge/wedge) context — v_cover's global best-edge pick
             self._argminmax_scalar_or_node(s, env, ctx, is_min)
             return
         # edge context: push to the inner (neighbor) variable
@@ -1270,7 +1513,52 @@ class Lowerer:
                                       self.eval(s.filter, env, ectx))
             self.exec_stmt(s.body, env, ectx)
             return
+        if it.iter_type == "ITEMS":
+            return self._exec_for_items(s, env, ctx)
         raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
+
+    def _exec_for_items(self, s: A.Foreach, env, ctx):
+        """Sequential For over collection items — the reference always
+        runs collection iteration sequentially
+        (``gm_cpp_opt_select_par.cc:27-108``), so an eager host loop over
+        the concrete items is the faithful lowering (bc.gm's seed loop)."""
+        it = s.iterator
+        if ctx is not None:
+            raise LowerError("collection iteration inside a parallel loop")
+        coll = env.get(it.source)
+        if coll is None:
+            raise LowerError(f"unbound collection {it.source}")
+        kind = self.collections.get(it.source)
+        try:
+            if kind == "NSET":
+                items = np.nonzero(np.asarray(coll))[0]
+            elif kind == "NORDER":
+                arr = np.asarray(coll.seq.items())
+                items = arr[:int(coll.seq.count)]
+            else:
+                arr = np.asarray(coll.items())
+                items = arr[:int(coll.count)]
+        except jax.errors.TracerArrayConversionError:
+            raise LowerError("collection iteration inside a traced loop "
+                             "(items are data-dependent)")
+        for v in items:
+            env[it.var] = jnp.asarray(int(v), jnp.int32)
+            if s.filter is not None:
+                c = self.eval(s.filter, env, None)
+                try:
+                    if not bool(c):
+                        continue
+                except jax.errors.TracerBoolConversionError:
+                    raise LowerError("traced filter on sequential "
+                                     "collection iteration")
+            self._defer_stack.append((it.var, []))
+            try:
+                self.exec_stmt(s.body, env, None)
+            finally:
+                _, pend = self._defer_stack.pop()
+            for key, mask, val in pend:
+                self._wr(env, key, jnp.where(mask, val, env[key]))
+        env.pop(it.var, None)
 
     def _exec_if(self, s: A.If, env, ctx):
         cond = self.eval(s.cond, env, ctx)
@@ -1304,6 +1592,11 @@ class Lowerer:
                 env[k] = ev
             elif ev is None:
                 env[k] = tv
+            elif not isinstance(tv, (jax.Array, np.ndarray, int, float,
+                                     bool, np.generic)):
+                # pytree values (NodeSeq etc.): merge leafwise
+                env[k] = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(cond, a, b), tv, ev)
             else:
                 tv2, ev2 = self._unify(tv, ev)
                 env[k] = jnp.where(cond, tv2, ev2)
@@ -1311,8 +1604,17 @@ class Lowerer:
     def _exec_while(self, s: A.While, env, ctx):
         if ctx is not None:
             raise LowerError("while-loop inside a parallel loop")
+        if contains_bfs(s.body):
+            # BFS bodies are host-replayed per level (lower_bfs), so a
+            # loop containing one runs as an eager host loop — matching
+            # the reference, which marks BFS-containing bodies sequential
+            # (gm_cpp_opt_select_par.cc).
+            return self._exec_while_eager(s, env)
         wkeys = written_keys(s.body)
         dkeys = declared_keys(s.body)
+        if uses_rng(s.body) or uses_rng(s.cond):
+            wkeys.add(_RNG)
+            env.setdefault(_RNG, jnp.zeros((), jnp.uint32))
         carry_keys = sorted((wkeys - dkeys) - {_RET, _DONE})
         if (_RET in wkeys) or (_DONE in wkeys):
             raise LowerError("Return inside While not lowerable yet")
@@ -1321,8 +1623,13 @@ class Lowerer:
                 raise LowerError(f"loop writes undeclared symbol {k}")
         if s.do_while:
             self.exec_stmt(s.body, env, None)
-        init = tuple(jnp.asarray(env[k]) for k in carry_keys)
-        shapes = [(v.shape, v.dtype) for v in init]
+        # carried values may be plain arrays or registered pytrees
+        # (NodeSeq/NodeOrder); lax.while_loop takes the pytree whole
+        init = tuple(jnp.asarray(env[k]) if isinstance(
+            env[k], (jax.Array, np.ndarray, int, float, bool))
+            else env[k] for k in carry_keys)
+        shapes = [(v.shape, v.dtype) if isinstance(v, jax.Array) else None
+                  for v in init]
         lw = self
 
         def overlay(carry):
@@ -1339,7 +1646,11 @@ class Lowerer:
             e2 = overlay(carry)
             lw.exec_stmt(s.body, e2, None)
             out = []
-            for k, (shape, dt) in zip(carry_keys, shapes):
+            for k, sd in zip(carry_keys, shapes):
+                if sd is None:
+                    out.append(e2[k])
+                    continue
+                shape, dt = sd
                 v = jnp.asarray(e2[k])
                 if v.shape != shape:
                     raise LowerError(
@@ -1350,6 +1661,24 @@ class Lowerer:
         final = jax.lax.while_loop(cond_fn, body_fn, init)
         for k, v in zip(carry_keys, final):
             env[k] = v
+
+    def _exec_while_eager(self, s: A.While, env, max_iters=1_000_000):
+        """Host-driven sequential loop for untraceable bodies (InBFS)."""
+        def cond():
+            c = self.eval(s.cond, env, None)
+            try:
+                return bool(c)
+            except jax.errors.TracerBoolConversionError:
+                raise LowerError("BFS-containing loop with a traced "
+                                 "condition is not lowerable")
+        if s.do_while:
+            self.exec_stmt(s.body, env, None)
+        it = 0
+        while cond():
+            self.exec_stmt(s.body, env, None)
+            it += 1
+            if it > max_iters:
+                raise LowerError("runaway sequential loop")
 
     def _exec_return(self, s: A.Return, env, ctx):
         if ctx is not None:
@@ -1386,6 +1715,39 @@ class Lowerer:
 # Public driver
 # --------------------------------------------------------------------------
 
+def _bind_collection(kind: str, val, g: Graph):
+    """Bind a Node_Set/Seq/Order argument (by-reference in the reference
+    runtime, gm_default_usermain.cc): unsupplied -> empty (output-style)."""
+    from ..runtime.collections import NodeOrder, NodeSeq, NodeSet
+    if kind == "NSET":
+        if val is None:
+            return jnp.zeros((g.n_pad,), jnp.bool_)
+        if isinstance(val, NodeSet):
+            return val.bits
+        arr = jnp.asarray(val)
+        if arr.dtype == jnp.bool_ and arr.shape == (g.n_pad,):
+            return arr
+        # list of member ids
+        return jnp.zeros((g.n_pad,), jnp.bool_).at[arr].set(True)
+    if kind == "NSEQ":
+        if val is None:
+            return NodeSeq.empty(g.n_pad)
+        if isinstance(val, NodeSeq):
+            return val
+        seq = NodeSeq.empty(g.n_pad)
+        for v in np.asarray(val).tolist():
+            seq = seq.push_back(int(v))
+        return seq
+    if val is None:
+        return NodeOrder.empty(g.n_pad, g.n_pad)
+    if isinstance(val, NodeOrder):
+        return val
+    order = NodeOrder.empty(g.n_pad, g.n_pad)
+    for v in np.asarray(val).tolist():
+        order = order.push_back(int(v))
+    return order
+
+
 class CompiledProc:
     """A lowered Green-Marl procedure.
 
@@ -1412,6 +1774,12 @@ class CompiledProc:
             for name in decl.names:
                 if decl.type.kind == "GRAPH":
                     env[name] = g
+                    continue
+                if decl.type.kind in ("NSET", "NSEQ", "NORDER"):
+                    env[name] = _bind_collection(
+                        decl.type.kind, kwargs.get(name), g)
+                    if name not in kwargs:
+                        out_names.append(name)
                     continue
                 if name in kwargs:
                     val = kwargs[name]
@@ -1486,8 +1854,16 @@ def compile_source(text: str, name: Optional[str] = None,
 
 def compile_file(path: str, name: Optional[str] = None,
                  optimize: bool = True) -> CompiledProc:
+    import os
     from .parser import parse_file
     procs = parse_file(path)
+    if name is None:
+        # prefer the procedure named like the file (the reference's
+        # usermain binds <app>_main.cc to the same-named proc);
+        # sssp_path.gm, e.g., also contains a get_path helper
+        base = os.path.splitext(os.path.basename(path))[0]
+        if any(p.name == base for p in procs):
+            name = base
     return _pick(procs, name, optimize)
 
 

@@ -50,14 +50,10 @@ def arg_value(t, g, rng):
         if base == "BOOL":
             return jnp.zeros((g.e_pad,), jnp.bool_)
         return jnp.asarray(rng.random(g.e_pad).astype(np.float32))
-    if k in ("NSET", "NSEQ", "NORDER"):
-        from green_marl_tpu.runtime.collections import (NodeOrder, NodeSeq,
-                                                        NodeSet)
-        cls = {"NSET": NodeSet, "NSEQ": NodeSeq, "NORDER": NodeOrder}[k]
-        c = cls.empty(g)
-        for v in (1, 2, 3):
-            c = c.add(v)
-        return c
+    if k == "NSET":
+        return "SKIP"        # output-style: let _bind allocate empty
+    if k in ("NSEQ", "NORDER"):
+        return np.array([1, 2, 3], np.int32)   # e.g. bc.gm seed list
     return None
 
 
@@ -82,6 +78,8 @@ def main():
                     if v is None:
                         raise LowerError(
                             f"no generic value for arg type {a.type.kind}")
+                    if isinstance(v, str) and v == "SKIP":
+                        continue
                     kwargs[nm] = v
             cp(g, **kwargs)
             ok.append(name)
