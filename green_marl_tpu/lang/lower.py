@@ -282,6 +282,14 @@ def written_keys(stmt) -> Set[str]:
             raise LowerError(f"unknown statement {type(s).__name__}")
 
     walk(stmt)
+
+    # mutating collection verbs in EXPRESSION position also write their
+    # driver (``Node w = Stack.PopBack()`` — tarjan_scc.gm)
+    def scan(n):
+        if isinstance(n, A.Builtin) and n.driver is not None and \
+                n.name.lower() in _MUTATE_METHODS:
+            out.add(n.driver)
+    _walk_ast(stmt, scan)
     return out
 
 
@@ -664,6 +672,14 @@ class Lowerer:
                     return coll.items()[coll.count - 1]
                 if name == "has" and kind == "NORDER":
                     return coll.has(self.eval(e.args[0], env, ctx))
+                if name == "popback" and kind == "NSEQ":
+                    val, new = coll.pop_back()
+                    env[e.driver] = new
+                    return val
+                if name == "popfront" and kind == "NSEQ":
+                    val, new = coll.pop_front()
+                    env[e.driver] = new
+                    return val
             raise LowerError(f"collection builtin {e.name} on "
                              f"{kind} not lowerable yet")
         ids = self._ident(e.driver, env, ctx)
@@ -1480,6 +1496,12 @@ class Lowerer:
 
     def _exec_foreach(self, s: A.Foreach, env, ctx):
         it = s.iterator
+        if it.source in self.graphs and it.iter_type == "NODES" and \
+                ctx is None and contains_bfs(s.body):
+            # sequential For over nodes whose body contains InBFS/InDFS
+            # (kosaraju's restart loop) — the reference serializes these
+            # too (select_par marks BFS bodies sequential)
+            return self._exec_for_nodes_eager(s, env)
         if it.source in self.graphs and it.iter_type == "NODES":
             nctx = self._node_ctx(it, env, ctx)
             if s.filter is not None:
@@ -1507,15 +1529,59 @@ class Lowerer:
                 self._wr(env, key, jnp.where(mask, val, env[key]))
             return
         if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS"):
-            ectx = self._edge_ctx(it, env, ctx)
+            try:
+                ectx = self._edge_ctx(it, env, ctx)
+                if s.filter is not None:
+                    ectx = ectx.with_mask(ectx.mask &
+                                          self.eval(s.filter, env, ectx))
+                self.exec_stmt(s.body, env, ectx)
+                return
+            except LowerError:
+                # order-dependent body over a *scalar* node's neighbors
+                # (tarjan's LowLink min-fold): run it sequentially, like
+                # the reference's inner loops (select_par)
+                if ctx is not None:
+                    raise
+                u = env.get(it.source)
+                if u is None or isinstance(u, jax.core.Tracer):
+                    raise
+                return self._exec_for_nbrs_eager(s, env)
+
+    def _exec_for_nbrs_eager(self, s: A.Foreach, env):
+        it = s.iterator
+        g = self.g
+        u = int(np.asarray(jax.device_get(env[it.source])))
+        if it.iter_type == "IN_NBRS":
+            begin, ni = np.asarray(g.r_begin), np.asarray(g.r_node_idx)
+        else:
+            begin, ni = np.asarray(g.begin), np.asarray(g.node_idx)
+        for w in ni[begin[u]:begin[u + 1]]:
+            env[it.var] = jnp.asarray(int(w), jnp.int32)
             if s.filter is not None:
-                ectx = ectx.with_mask(ectx.mask &
-                                      self.eval(s.filter, env, ectx))
-            self.exec_stmt(s.body, env, ectx)
-            return
+                if not bool(np.asarray(jax.device_get(
+                        self.eval(s.filter, env, None)))):
+                    continue
+            self.exec_stmt(s.body, env, None)
+        env.pop(it.var, None)
+        return
         if it.iter_type == "ITEMS":
             return self._exec_for_items(s, env, ctx)
         raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
+
+    def _exec_for_nodes_eager(self, s: A.Foreach, env):
+        it = s.iterator
+        for v in range(self.g.num_nodes):
+            env[it.var] = jnp.asarray(v, jnp.int32)
+            if s.filter is not None:
+                c = self.eval(s.filter, env, None)
+                try:
+                    if not bool(np.asarray(jax.device_get(c))):
+                        continue
+                except jax.errors.TracerBoolConversionError:
+                    raise LowerError("traced filter on a sequential "
+                                     "node loop")
+            self.exec_stmt(s.body, env, None)
+        env.pop(it.var, None)
 
     def _exec_for_items(self, s: A.Foreach, env, ctx):
         """Sequential For over collection items — the reference always

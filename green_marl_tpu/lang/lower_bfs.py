@@ -26,8 +26,15 @@ import jax.numpy as jnp
 from . import gm_ast as A
 
 
-def _levels(lw, root, transpose: bool):
-    """Level array via iterative masked expansion (pure XLA)."""
+def _levels(lw, root, transpose: bool, allowed=None):
+    """Level array via iterative masked expansion (pure XLA).
+
+    ``allowed`` is the navigator mask: nodes failing it are neither
+    visited nor expanded (reference ``check_navigator``,
+    gm_cpp_gen_bfs.cc — kosaraju prunes to the unassigned subgraph).
+    Navigator state mutated *inside* the BFS body is not re-evaluated
+    mid-traversal (same restriction the level-sync GPS lowering has).
+    """
     from ..ops import segment as ops
     g = lw.g
     n_pad = g.n_pad
@@ -35,6 +42,9 @@ def _levels(lw, root, transpose: bool):
     ids = jnp.arange(n_pad, dtype=jnp.int32)
     level = jnp.where(ids == root, 0, INF)
     mask = g.node_mask()
+    if allowed is not None:
+        mask = mask & allowed
+        level = jnp.where(mask | (ids == root), level, INF)
 
     def cond(state):
         level, frontier_any, d = state
@@ -65,11 +75,18 @@ def exec_bfs(lw, s: A.BFS, env, ctx):
     if ctx is not None:
         raise LowerError("InBFS nested inside a parallel loop")
     if not s.is_bfs:
-        raise LowerError("InDFS is inherently sequential; use the "
-                         "runtime DFS engine (models.dfs) instead")
+        return exec_dfs(lw, s, env, ctx)
     g = lw.g
     root = lw._ident(s.root, env, None)
-    level, depth = _levels(lw, root, s.transpose)
+    allowed = None
+    if s.navigator is not None:
+        nav_ctx = NodeCtx(g=g, var=s.var,
+                          ids=jnp.arange(g.n_pad, dtype=jnp.int32),
+                          mask=g.node_mask())
+        allowed = jnp.broadcast_to(
+            jnp.asarray(lw.eval(s.navigator, env, nav_ctx)),
+            (g.n_pad,)).astype(jnp.bool_)
+    level, depth = _levels(lw, root, s.transpose, allowed)
     depth = int(jax.device_get(depth))        # host sync: level count
     env["__bfs_level$" + s.var] = level
 
@@ -101,6 +118,10 @@ def exec_bfs(lw, s: A.BFS, env, ctx):
         finally:
             lw._bfs_ctx = None
 
+    _run_reverse(lw, s, env, level, depth, level_ctx)
+
+
+def _run_reverse(lw, s, env, level, depth, level_ctx):
     # reverse pass: deep -> shallow (InReverse body)
     if s.body_bw is not None:
         for d in range(depth, -1, -1):
@@ -119,3 +140,60 @@ def exec_bfs(lw, s: A.BFS, env, ctx):
                     lw._wr(env, key, jnp.where(mask, val, env[key]))
             finally:
                 lw._bfs_ctx = None
+
+
+def exec_dfs(lw, s: A.BFS, env, ctx):
+    """InDFS: host-sequential iterative DFS with pre/post visit bodies.
+
+    The reference DFS template is sequential by design
+    (``gm_dfs_template.h``, 187 LoC; select_par never parallelizes DFS
+    bodies), so an eager host loop over the concrete CSR is the faithful
+    lowering.  The navigator is checked at entry time with the *current*
+    environment (kosaraju's ``[!n.Checked]`` prunes across restarts;
+    tarjan's stack discipline mutates state mid-traversal).
+    """
+    import numpy as np
+
+    from .lower import LowerError
+
+    if ctx is not None:
+        raise LowerError("InDFS nested inside a parallel loop")
+    g = lw.g
+    root = int(np.asarray(jax.device_get(lw._ident(s.root, env, None))))
+    if s.transpose:
+        begin = np.asarray(g.r_begin)
+        ni = np.asarray(g.r_node_idx)
+    else:
+        begin = np.asarray(g.begin)
+        ni = np.asarray(g.node_idx)
+    visited = np.zeros(g.num_nodes, bool)
+    stack = [(root, False)]
+    while stack:
+        v, post = stack.pop()
+        env[s.var] = jnp.asarray(v, jnp.int32)
+        if post:
+            if s.filter_bw is not None and not bool(
+                    np.asarray(jax.device_get(
+                        lw.eval(s.filter_bw, env, None)))):
+                continue
+            if s.body_bw is not None:
+                lw.exec_stmt(s.body_bw, env, None)
+            continue
+        if visited[v]:
+            continue
+        if s.navigator is not None and not bool(
+                np.asarray(jax.device_get(
+                    lw.eval(s.navigator, env, None)))):
+            continue
+        visited[v] = True
+        stack.append((v, True))          # post-visit after children
+        run_pre = True
+        if s.filter_fw is not None:
+            run_pre = bool(np.asarray(jax.device_get(
+                lw.eval(s.filter_fw, env, None))))
+        if run_pre and s.body_fw is not None:
+            lw.exec_stmt(s.body_fw, env, None)
+        for w in ni[begin[v]:begin[v + 1]][::-1]:
+            if not visited[w]:
+                stack.append((int(w), False))
+    env.pop(s.var, None)

@@ -7,14 +7,18 @@ state machine ST_SMALL→ST_QUE (top-down frontier queue) →ST_RD (bottom-up
 read-based sweep) with the switch thresholds ``next_count >= 0.05*N`` or
 ``>= 1024 && >= 5*curr`` (``gm_bfs_template.h:359-414,720-721``).
 
-Here both directions are shape-static dense edge maps over the padded
-edge arrays, selected per level by ``lax.cond`` on the frontier density:
+Here both directions are shape-static programs selected per level by
+``lax.switch`` on the frontier's out-edge count:
 
-* top-down ("push"): expand CSR slots whose source is in the frontier and
-  scatter-or into the next mask — cheap when the frontier is small
-  relative to E once the Pallas frontier kernel is active;
-* bottom-up ("pull"): every unvisited node tests whether any in-neighbor
-  is in the frontier (reference ST_RD, ``gm_bfs_template.h:176-198``).
+* top-down ("push", ST_QUE): compact the frontier bitmap, enumerate its
+  CSR slots into a fixed edge-budget buffer (4K/64K/1M tiers) and
+  scatter-or the destinations — O(budget), not O(E), so a 100-node
+  frontier costs a small buffer;
+* bottom-up ("pull", ST_RD): every node tests whether any in-neighbor is
+  in the frontier via a fixed-order segment sweep over all edges
+  (``gm_bfs_template.h:176-198``) — chosen when the frontier's edge
+  count overflows every push tier, the same density regime where the
+  reference flips to its read-based state.
 
 Levels are recorded in ``level[v]`` (reference ``visited_level``); the
 backward sweep for betweenness-centrality style passes iterates levels in
@@ -35,7 +39,10 @@ from ..graph.csr import Graph
 from ..ops import scan_reduce
 from ..ops import segment as ops
 
-# Reference direction-switch thresholds (gm_bfs_template.h:720-721).
+# Reference direction-switch thresholds (gm_bfs_template.h:720-721) —
+# kept for documentation; the switch below uses static edge-budget tiers,
+# which bound the same quantity (frontier out-edges) the reference's
+# node-count heuristic approximates.
 RD_FRACTION = 0.05
 RD_THRESHOLD = 1024
 
@@ -46,10 +53,48 @@ class BfsResult(NamedTuple):
     reached: jax.Array     # total reached node count
 
 
-@partial(jax.jit, static_argnames=("max_iter", "reverse"))
+def _push_expand(g: Graph, frontier, push_begin, push_nbr, e_cap: int):
+    """Top-down expand with a static edge budget ``e_cap`` (ST_QUE).
+
+    Compacts the frontier bitmap to node ids, enumerates their CSR slots
+    into a fixed [e_cap] buffer (segmented expansion via searchsorted —
+    the traced twin of the lowerer's wedge construction), and scatter-ORs
+    the destinations.  Work is O(n_pad + e_cap) regardless of E, which is
+    the whole point of the direction switch: a 100-node frontier costs a
+    small buffer, not a 69M-edge sweep.
+    """
+    n_pad = g.n_pad
+    ids = jnp.nonzero(frontier, size=n_pad, fill_value=n_pad)[0]
+    ids = ids.astype(jnp.int32)
+    valid = ids < g.num_nodes
+    idc = jnp.minimum(ids, g.num_nodes - 1)
+    deg = jnp.where(valid,
+                    (push_begin[idc + 1] - push_begin[idc]).astype(
+                        jnp.int32), 0)
+    cum = jnp.cumsum(deg)
+    W = cum[-1]                       # total frontier out-edges
+    i = jnp.arange(e_cap, dtype=jnp.int32)
+    sel = jnp.searchsorted(cum, i, side="right").astype(jnp.int32)
+    sel = jnp.minimum(sel, n_pad - 1)
+    base = push_begin[idc[sel]].astype(jnp.int32)
+    off = i - (cum[sel] - deg[sel])
+    slot = jnp.clip(base + off, 0, push_nbr.shape[0] - 1)
+    live = i < jnp.minimum(W, e_cap)
+    dst = push_nbr[slot].astype(jnp.int32)
+    hit = ops.segment_max(live.astype(jnp.int8), dst, n_pad,
+                          sorted_ids=False) > 0
+    return hit
+
+
+@partial(jax.jit, static_argnames=("max_iter", "reverse", "direction"))
 def bfs(g: Graph, root, max_iter: int | None = None,
-        reverse: bool = False) -> BfsResult:
-    """Forward BFS from ``root`` over out-edges (in-edges if ``reverse``)."""
+        reverse: bool = False, direction: str = "auto") -> BfsResult:
+    """Forward BFS from ``root`` over out-edges (in-edges if ``reverse``).
+
+    ``direction``: "auto" switches per level between the push tiers and
+    the pull sweep (reference state machine ST_QUE->ST_RD); "pull" and
+    "push" force one branch (testing / pathological graphs).
+    """
     if max_iter is None:
         max_iter = g.num_nodes + 1
     n_pad = g.n_pad
@@ -61,22 +106,50 @@ def bfs(g: Graph, root, max_iter: int | None = None,
     # Scatter-free: OR = exact integer segment-count > 0 (ops.scan_reduce).
     if reverse:
         e_src, offsets = g.node_idx, g.begin       # traverse edges backwards
+        push_begin, push_nbr = g.r_begin, g.r_node_idx
+        out_deg = g.in_degree()
     else:
         e_src, offsets = g.r_node_idx, g.r_begin
+        push_begin, push_nbr = g.begin, g.node_idx
+        out_deg = g.out_degree()
+    out_deg = out_deg.astype(jnp.int32)
+
+    # Static push-budget tiers: smallest buffer that fits the frontier's
+    # out-edge count wins; overflowing every tier -> pull (the reference
+    # flips to ST_RD at next_count >= 0.05*N or >= 1024 && >= 5*curr,
+    # gm_bfs_template.h:359-414 — here the budget is edge-based, which
+    # is the same quantity the cost actually follows).
+    e_pad = int(push_nbr.shape[0])
+    tiers = []
+    for cap in (4096, 65536, 1 << 20):
+        if cap < e_pad // 2:
+            tiers.append(cap)
 
     level0 = jnp.where(ids == root, 0, -1).astype(jnp.int32)
     level0 = jnp.where(node_mask, level0, -1)
     frontier0 = (ids == root) & node_mask
 
-    def expand_pull(frontier, visited):
+    def expand_pull(frontier):
         """Bottom-up: segment-or over in-edges (ST_RD)."""
         vals = frontier[e_src].astype(jnp.int32)
-        hit = scan_reduce.segment_sum_by_offsets(vals, offsets, n_pad) > 0
-        return hit & ~visited & node_mask
+        return scan_reduce.segment_sum_by_offsets(vals, offsets, n_pad) > 0
 
     def step(state):
         level, frontier, depth, count = state
-        nxt = expand_pull(frontier, level >= 0)
+        visited = level >= 0
+        if direction == "pull" or not tiers:
+            hit = expand_pull(frontier)
+        elif direction == "push":
+            # forced push: full edge budget (never truncates)
+            hit = _push_expand(g, frontier, push_begin, push_nbr, e_pad)
+        else:
+            fe = jnp.sum(jnp.where(frontier, out_deg, 0))
+            branches = [partial(_push_expand, g, frontier, push_begin,
+                                push_nbr, cap) for cap in tiers]
+            branches.append(lambda: expand_pull(frontier))
+            idx = sum((fe > cap).astype(jnp.int32) for cap in tiers)
+            hit = jax.lax.switch(idx, branches)
+        nxt = hit & ~visited & node_mask
         new_level = jnp.where(nxt, depth + 1, level)
         return (new_level, nxt, depth + 1,
                 count + jnp.sum(nxt.astype(jnp.int32)))

@@ -88,6 +88,16 @@ class NodeSeq:
         pos = (self.head - 1) % self.capacity
         return NodeSeq(self.buf.at[pos].set(v), pos, self.count + 1)
 
+    def pop_back(self) -> Tuple[jax.Array, "NodeSeq"]:
+        pos = (self.head + self.count - 1) % self.capacity
+        return self.buf[pos], NodeSeq(self.buf, self.head,
+                                      self.count - 1)
+
+    def pop_front(self) -> Tuple[jax.Array, "NodeSeq"]:
+        return (self.buf[self.head],
+                NodeSeq(self.buf, (self.head + 1) % self.capacity,
+                        self.count - 1))
+
     def items(self) -> jax.Array:
         """[cap] ids in order, -1 beyond ``count``."""
         idx = (self.head + jnp.arange(self.capacity)) % self.capacity
