@@ -48,6 +48,7 @@ dtype's extrema.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -58,6 +59,15 @@ from . import gm_ast as A
 from .typecheck import typecheck
 from ..graph.csr import Graph
 from ..ops import segment as ops
+
+
+class RaceWarning(UserWarning):
+    """A parallel write-write/read-write conflict detected by RW analysis.
+
+    Mirrors the reference's ``gm_rw_analysis_check2.cc`` conflict report,
+    where WW/RW conflicts are warnings (``is_warning = true``) and
+    compilation proceeds with last-store-wins semantics; our lowering
+    substitutes a deterministic lowest-slot winner."""
 
 
 class LowerError(Exception):
@@ -470,7 +480,12 @@ class Lowerer:
         done = env.get(_DONE)
         if done is not None and isinstance(done, jax.Array) and key in env:
             old = env[key]
-            val = jnp.where(done, old, val)
+            if isinstance(val, (jax.Array, int, float, bool, np.ndarray)):
+                val = jnp.where(done, old, val)
+            else:
+                # pytree value (collection state): merge leafwise
+                val = jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(done, o, n), old, val)
         env[key] = val
 
     # ---- identifier/vector resolution --------------------------------------
@@ -672,13 +687,17 @@ class Lowerer:
                     return coll.items()[coll.count - 1]
                 if name == "has" and kind == "NORDER":
                     return coll.has(self.eval(e.args[0], env, ctx))
-                if name == "popback" and kind == "NSEQ":
-                    val, new = coll.pop_back()
-                    env[e.driver] = new
-                    return val
-                if name == "popfront" and kind == "NSEQ":
-                    val, new = coll.pop_front()
-                    env[e.driver] = new
+                if name in ("popback", "popfront") and kind == "NSEQ":
+                    # expression-position mutator: a single trace-time
+                    # pop would be shared by every slot of a parallel
+                    # context, and the driver update must go through the
+                    # deferred-write machinery
+                    if ctx is not None:
+                        raise LowerError(
+                            f"{e.name} inside a parallel loop")
+                    val, new = (coll.pop_back() if name == "popback"
+                                else coll.pop_front())
+                    self._wr(env, e.driver, new)
                     return val
             raise LowerError(f"collection builtin {e.name} on "
                              f"{kind} not lowerable yet")
@@ -1529,6 +1548,12 @@ class Lowerer:
                 self._wr(env, key, jnp.where(mask, val, env[key]))
             return
         if it.iter_type in ("NBRS", "OUT_NBRS", "IN_NBRS"):
+            # Snapshot env/collections before attempting the vectorized
+            # lowering: a LowerError raised mid-body must not leave
+            # partially-committed writes behind before the eager retry
+            # (otherwise e.g. a += preceding the failing statement would
+            # be applied twice).
+            snap = dict(env)
             try:
                 ectx = self._edge_ctx(it, env, ctx)
                 if s.filter is not None:
@@ -1542,10 +1567,15 @@ class Lowerer:
                 # the reference's inner loops (select_par)
                 if ctx is not None:
                     raise
-                u = env.get(it.source)
+                u = snap.get(it.source)
                 if u is None or isinstance(u, jax.core.Tracer):
                     raise
+                env.clear()
+                env.update(snap)
                 return self._exec_for_nbrs_eager(s, env)
+        if it.iter_type == "ITEMS":
+            return self._exec_for_items(s, env, ctx)
+        raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
 
     def _exec_for_nbrs_eager(self, s: A.Foreach, env):
         it = s.iterator
@@ -1563,10 +1593,6 @@ class Lowerer:
                     continue
             self.exec_stmt(s.body, env, None)
         env.pop(it.var, None)
-        return
-        if it.iter_type == "ITEMS":
-            return self._exec_for_items(s, env, ctx)
-        raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
 
     def _exec_for_nodes_eager(self, s: A.Foreach, env):
         it = s.iterator
@@ -1940,6 +1966,17 @@ def _pick(procs: List[A.Procedure], name: Optional[str],
     -> re-typecheck (optimizer-introduced temporaries get fresh
     annotations) -> lower."""
     typecheck(procs)
+    # Race detection (reference ``gm_fe_rw_analysis_check2.cc``): WW
+    # conflicts are *warnings* there (is_warning=true) — compilation
+    # continues and the OpenMP code keeps whichever store lands last.
+    # Our lowering gives those writes deterministic lowest-slot-winner
+    # semantics (a valid instance of the racy spec); we surface the same
+    # warnings so the user learns about the conflict, exactly like the
+    # reference's report.
+    from .rw_analysis import analyze as _rw_analyze
+    rw = _rw_analyze(procs)
+    for w in rw.warnings:
+        warnings.warn(w, RaceWarning, stacklevel=3)
     if optimize:
         from . import opt
         procs = [opt.optimize(p, clone=True) for p in procs]
@@ -1949,4 +1986,6 @@ def _pick(procs: List[A.Procedure], name: Optional[str],
         proc = cands[-1]
     else:
         proc = next(p for p in procs if p.name == name)
-    return CompiledProc(proc)
+    cp = CompiledProc(proc)
+    cp.race_warnings = list(rw.warnings)
+    return cp

@@ -267,6 +267,17 @@ class RWAnalysis:
                         f"{self.filename}:{loc.line}: write-write "
                         f"conflict on '{w1.sym}' inside parallel loop "
                         f"'{it_var}'")
+            # a single RANDOM-range plain write conflicts with itself
+            # across iterations (e.g. ``s.p = 1`` inside nested
+            # neighbor loops, random_bipartite_matching's
+            # ``t.Suitor = n``) — reference check2 reports WW_CONFLICT
+            # as a warning and keeps last-store-wins semantics
+            if w1.reduce_op is None and w1.range == RANDOM \
+                    and w1.driver != it_var:
+                self.warnings.append(
+                    f"{self.filename}:{loc.line}: write-write "
+                    f"conflict on '{w1.sym}' inside parallel loop "
+                    f"'{it_var}' (random-access write)")
             # scalar plain write in parallel loop
             if w1.driver is None and w1.reduce_op is None:
                 self.errors.append(

@@ -89,14 +89,20 @@ class NodeSeq:
         return NodeSeq(self.buf.at[pos].set(v), pos, self.count + 1)
 
     def pop_back(self) -> Tuple[jax.Array, "NodeSeq"]:
+        """Callers must guard ``Size() > 0`` (reference precondition,
+        gm_seq.h); on an empty seq the count clamps at 0 instead of
+        corrupting subsequent Size()/items()."""
         pos = (self.head + self.count - 1) % self.capacity
         return self.buf[pos], NodeSeq(self.buf, self.head,
-                                      self.count - 1)
+                                      jnp.maximum(self.count - 1, 0))
 
     def pop_front(self) -> Tuple[jax.Array, "NodeSeq"]:
+        """See pop_back: empty-seq pop clamps count at 0."""
+        new_head = jnp.where(self.count > 0,
+                             (self.head + 1) % self.capacity, self.head)
         return (self.buf[self.head],
-                NodeSeq(self.buf, (self.head + 1) % self.capacity,
-                        self.count - 1))
+                NodeSeq(self.buf, new_head,
+                        jnp.maximum(self.count - 1, 0)))
 
     def items(self) -> jax.Array:
         """[cap] ids in order, -1 beyond ``count``."""

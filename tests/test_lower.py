@@ -18,8 +18,8 @@ import pytest
 
 from green_marl_tpu.graph import generate as gen
 from green_marl_tpu.graph.csr import from_edges
-from green_marl_tpu.lang.lower import (LowerError, compile_file,
-                                       compile_source)
+from green_marl_tpu.lang.lower import (LowerError, RaceWarning,
+                                       compile_file, compile_source)
 
 REF = "/root/reference"
 INF32 = np.iinfo(np.int32).max
@@ -186,19 +186,56 @@ class TestFeasibility:
     at lowering, mirroring gm_cpp_opt_check_feasible.cc +
     the rw_analysis race oracle."""
 
-    def test_race_rejected(self, graph):
-        g, _, _ = graph
+    def test_race_warned_and_deterministic(self, graph):
+        """Plain neighbor writes are a WW conflict. The reference's
+        check2 reports them as *warnings* (is_warning=true,
+        gm_rw_analysis_check2.cc) and keeps last-store-wins semantics;
+        we warn identically and pick a deterministic winner — the result
+        must be a valid instance of the racy spec (every node with an
+        in-neighbor gets the written value)."""
+        g, csr_src, csr_dst = graph
         src_text = """
         Procedure racy(G: Graph, p: N_P<Int>) {
             Foreach(n: G.Nodes) {
                 Foreach(s: n.Nbrs) {
-                    s.p = 1;      // plain neighbor write: data race
+                    s.p = 1;      // plain neighbor write: WW conflict
                 }
             }
         }
         """
-        with pytest.raises(LowerError):
-            compile_source(src_text)(g)
+        with pytest.warns(RaceWarning):
+            prog = compile_source(src_text)
+        assert prog.race_warnings
+        p = np.asarray(prog(g)["p"])[:g.num_nodes]
+        _, dst = _csr_np(g)
+        indeg = np.zeros(g.num_nodes, np.int64)
+        np.add.at(indeg, dst, 1)
+        np.testing.assert_array_equal(p, (indeg > 0).astype(np.int32))
+
+    def test_items_loop_executes(self, graph):
+        """For (x: Seq.Items) must run the body once per item — guards
+        against the r2 regression where the ITEMS dispatch became dead
+        code and the loop silently no-opped (bc.gm's seed loop)."""
+        g, _, _ = graph
+        src_text = """
+        Procedure items_loop(G: Graph, A: N_P<Int>) : Int {
+            Node_Seq S;
+            Int total = 0;
+            S.PushBack(1);
+            S.PushBack(3);
+            S.PushBack(5);
+            For (v: S.Items) {
+                v.A = 7;
+                total = total + 1;
+            }
+            Return total;
+        }
+        """
+        out = compile_source(src_text)(g)
+        assert int(out["_return"]) == 3
+        a = np.asarray(out["A"])[:g.num_nodes]
+        assert a[1] == 7 and a[3] == 7 and a[5] == 7
+        assert a.sum() == 21
 
     def test_scalar_race_rejected(self, graph):
         g, _, _ = graph
