@@ -24,6 +24,28 @@ def _rng_root(ctx: RunContext) -> int:
     return int(root) if root is not None else 0
 
 
+def _num_chips(ctx: RunContext) -> int:
+    """-GMNumChips: device count for the vertex-sharded path (the
+    -GMNumThreads analog; reference common_main.h:29-230)."""
+    k = ctx.options.get_option("GMNumChips") if ctx.options else None
+    return int(k) if k else 1
+
+
+def _vsharded(ctx: RunContext, k: int):
+    import jax
+
+    from ..parallel import vertex_sharded as V
+    if len(jax.devices()) < k:
+        raise SystemExit(
+            f"-GMNumChips={k}: only {len(jax.devices())} devices "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count "
+            "for a virtual CPU mesh)")
+    mesh = V.vmesh(k)
+    vsg = V.place(V.build_vertex_sharded(ctx.graph, k), mesh)
+    print(V.placement_report(vsg, mesh), file=sys.stderr)
+    return vsg, mesh
+
+
 def make_pagerank() -> UserMain:
     m = UserMain("pagerank", "PageRank power iteration (pagerank.gm)")
     m.declare_scalar("max_iter", bio.GMTYPE_INT, True, False, default=100)
@@ -32,6 +54,15 @@ def make_pagerank() -> UserMain:
     m.declare_property("rank", bio.GMTYPE_DOUBLE, False, True, GM_NODEPROP)
 
     def run(ctx: RunContext) -> Dict:
+        k = _num_chips(ctx)
+        if k > 1:
+            from ..parallel.vertex_sharded import pagerank_vsharded
+            vsg, mesh = _vsharded(ctx, k)
+            rank, _, _ = pagerank_vsharded(
+                vsg, mesh, e=float(ctx.scalars["e"]),
+                d=float(ctx.scalars["d"]),
+                max_iter=int(ctx.scalars["max_iter"]))
+            return {"rank": np.asarray(rank)}
         from ..models.pagerank import pagerank
         res = pagerank(ctx.graph, e=float(ctx.scalars["e"]),
                        d=float(ctx.scalars["d"]),
@@ -49,6 +80,13 @@ def make_hop_dist() -> UserMain:
                        dump_count=10)  # hop_dist_main.cc prints dist[0..9]
 
     def run(ctx: RunContext) -> Dict:
+        k = _num_chips(ctx)
+        if k > 1:
+            from ..parallel.vertex_sharded import hop_dist_vsharded
+            vsg, mesh = _vsharded(ctx, k)
+            dist, _ = hop_dist_vsharded(vsg, mesh, _rng_root(ctx))
+            # reference prints INT32_MAX for unreached (hop_dist.gm +INF)
+            return {"dist": np.asarray(dist)}
         from ..models.hop_dist import hop_dist
         res = hop_dist(ctx.graph, _rng_root(ctx))
         return {"dist": np.asarray(res.dist)}
@@ -68,11 +106,21 @@ def make_sssp() -> UserMain:
         import jax.numpy as jnp
         from ..models.sssp import sssp
         g = ctx.graph
+        w = np.zeros(g.e_pad, np.int32)
         if "len" in ctx.edge_props:
-            w = np.zeros(g.e_pad, np.int32)
             w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
         else:
-            w = np.ones(g.e_pad, np.int32)
+            # reference main generates lengths with its xorshift RNG
+            # over CSR slots (sssp_main.cc:31-33) — replicate bit-exact
+            from ..utils.gm_rand import sssp_edge_lengths
+            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+        k = _num_chips(ctx)
+        if k > 1:
+            from ..parallel import vertex_sharded as V
+            vsg, mesh = _vsharded(ctx, k)
+            w_slab = V.shard_edge_prop(vsg, g, w)
+            dist, _ = V.sssp_vsharded(vsg, mesh, w_slab, _rng_root(ctx))
+            return {"dist": np.asarray(dist)}
         res = sssp(g, _rng_root(ctx), jnp.asarray(w))
         return {"dist": np.asarray(res.dist)}
 
@@ -129,13 +177,282 @@ def make_cc() -> UserMain:
     return m
 
 
+def make_conduct_main() -> UserMain:
+    """conduct_main.cc protocol: xorshift 10/20/30/40% membership,
+    sum of conductance over the 4 cuts, ``sum C = %lf``."""
+    m = UserMain("conduct_main", "Sum of conductances over 4 random "
+                 "cuts (conduct_main.cc)")
+    m.declare_scalar("return", bio.GMTYPE_DOUBLE, False, True)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.conductance import conductance
+        from ..utils.gm_rand import conduct_membership
+        g = ctx.graph
+        member = np.zeros(g.n_pad, np.int32)
+        member[: g.num_nodes] = conduct_membership(g.num_nodes)
+        mj = jnp.asarray(member)
+        c = sum(float(conductance(g, mj, i)) for i in range(4))
+        print(f"sum C = {c:f}")
+        return {"return": c}
+
+    m.set_run(run)
+    return m
+
+
+def make_avg_teen_cnt() -> UserMain:
+    m = UserMain("avg_teen_cnt", "Average teen count (avg_teen_cnt.gm; "
+                 "main sets age=10, K=5)")
+    m.declare_scalar("K", bio.GMTYPE_INT, True, False, default=5)
+    m.declare_scalar("return", bio.GMTYPE_FLOAT, False, True)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.analytics import avg_teen_cnt
+        g = ctx.graph
+        age = jnp.full((g.n_pad,), 10, jnp.int32)
+        avg, _ = avg_teen_cnt(g, age, int(ctx.scalars["K"]))
+        print(f"avg = {float(avg):0.9f}")
+        return {"return": float(avg)}
+
+    m.set_run(run)
+    return m
+
+
+def make_bc() -> UserMain:
+    m = UserMain("bc", "Betweenness centrality, random seeds "
+                 "(bc_random_main.cc pattern)")
+    m.declare_scalar("num_seeds", bio.GMTYPE_INT, True, False, default=4)
+    m.declare_property("BC", bio.GMTYPE_FLOAT, False, True, GM_NODEPROP,
+                       dump_count=4)   # bc_main.cc prints BC[0..3]
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.bc import bc
+        g = ctx.graph
+        k = int(ctx.scalars["num_seeds"])
+        seeds = jnp.asarray(np.arange(k) % g.num_nodes, jnp.int32)
+        res = bc(g, seeds)
+        return {"BC": np.asarray(res.bc)}
+
+    m.set_run(run)
+    return m
+
+
+def make_sssp_path() -> UserMain:
+    m = UserMain("sssp_path", "SSSP with path reconstruction "
+                 "(sssp_path_main.cc)")
+    m.declare_scalar("begin", bio.GMTYPE_NODE, True, False, default=0)
+    m.declare_scalar("end", bio.GMTYPE_NODE, True, False, default=1)
+    m.declare_property("len", bio.GMTYPE_INT, True, False, GM_EDGEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.sssp_path import get_path, sssp_path
+        g = ctx.graph
+        w = np.zeros(g.e_pad, np.int32)
+        if "len" in ctx.edge_props:
+            w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
+        else:
+            from ..utils.gm_rand import sssp_edge_lengths
+            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+        b = int(ctx.scalars["begin"])
+        e = int(ctx.scalars["end"])
+        res = sssp_path(g, b, jnp.asarray(w))
+        path = get_path(np.asarray(res.prev), b, e)
+        print(f"shortest path from {b} to {e}")
+        print(" -> ".join(str(n) for n in path) if path else "NO_PATH")
+        return {}
+
+    m.set_run(run)
+    return m
+
+
+def make_scc(name="kosaraju") -> UserMain:
+    m = UserMain(name, "Strongly connected components "
+                 "(kosaraju_main.cc protocol)")
+    m.declare_property("mem", bio.GMTYPE_NODE, False, True, GM_NODEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        from ..models.scc import scc
+        res = scc(ctx.graph)
+        mem = np.asarray(res.comp)[: ctx.graph.num_nodes]
+        print(f"num_membership = {len(np.unique(mem))}")
+        return {"mem": np.asarray(res.comp)}
+
+    m.set_run(run)
+    return m
+
+
+def make_v_cover() -> UserMain:
+    m = UserMain("v_cover", "Vertex cover (v_cover_main.cc)")
+    m.declare_property("select", bio.GMTYPE_BOOL, False, True,
+                       GM_EDGEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        from ..models.v_cover import v_cover
+        res = v_cover(ctx.graph)
+        print(f"covered (may be non-deterministic) = {int(res.count)}")
+        return {"select": np.asarray(res.select)}
+
+    m.set_run(run)
+    return m
+
+
+def make_communities() -> UserMain:
+    m = UserMain("communities", "Label propagation "
+                 "(communities_main.cc)")
+    m.declare_property("Comm", bio.GMTYPE_NODE, False, True, GM_NODEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        from ..models.communities import communities
+        res = communities(ctx.graph)
+        comm = np.asarray(res.comm)[: ctx.graph.num_nodes]
+        ids, cnt = np.unique(comm, return_counts=True)
+        print("Community\t#Nodes\t\t(showing max 10 entries)")
+        for i, c in list(zip(ids, cnt))[:10]:
+            print(f"{i}\t\t{c}")
+        return {"Comm": np.asarray(res.comm)}
+
+    m.set_run(run)
+    return m
+
+
+def _make_sampling(name: str) -> UserMain:
+    m = UserMain(name, f"{name} (sampling family; RNG is the "
+                 "framework's counter-based threefry, not the "
+                 "reference xorshift — outputs are distributional)")
+    m.declare_scalar("n", bio.GMTYPE_INT, True, False, default=100)
+    m.declare_property("sampled", bio.GMTYPE_BOOL, False, True,
+                       GM_NODEPROP, dump_count=0)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax
+        import jax.numpy as jnp
+        from ..models import sampling as S
+        g = ctx.graph
+        key = jax.random.PRNGKey(0)
+        n = jnp.asarray(int(ctx.scalars["n"]), jnp.int32)
+        if name == "random_node_sampling":
+            out = S.random_node_sampling(g, key, n)
+        elif name == "random_degree_node_sampling":
+            out = S.random_degree_node_sampling(g, key, n)
+        else:
+            out = S.random_walk_with_jump(g, key, steps=int(n))
+        return {"sampled": np.asarray(out).astype(np.bool_)}
+
+    m.set_run(run)
+    return m
+
+
+def make_random_node_sampling() -> UserMain:
+    return _make_sampling("random_node_sampling")
+
+
+def make_random_degree_node_sampling() -> UserMain:
+    return _make_sampling("random_degree_node_sampling")
+
+
+def make_random_walk_sampling() -> UserMain:
+    return _make_sampling("random_walk_sampling_with_random_jump")
+
+
+def make_random_bipartite_matching() -> UserMain:
+    m = UserMain("random_bipartite_matching",
+                 "Parallel maximal bipartite matching")
+    m.declare_property("isLeft", bio.GMTYPE_BOOL, True, False,
+                       GM_NODEPROP)
+    m.declare_scalar("return", bio.GMTYPE_INT, False, True)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.sampling import random_bipartite_matching
+        g = ctx.graph
+        left = np.zeros(g.n_pad, bool)
+        if "isLeft" in ctx.node_props:
+            left[: g.num_nodes] = np.asarray(
+                ctx.node_props["isLeft"]).astype(bool)
+        else:
+            # no property supplied: sources with out-edges are "left"
+            left[: g.num_nodes] = (np.diff(np.asarray(g.begin)) > 0)
+        res = random_bipartite_matching(g, jnp.asarray(left))
+        print(f"matched = {int(res.count)}")
+        return {"return": int(res.count)}
+
+    m.set_run(run)
+    return m
+
+
+def make_sssp_dijkstra() -> UserMain:
+    m = UserMain("sssp_dijkstra", "Dijkstra-class SSSP (delta-stepping "
+                 "reformulation; sssp_dijkstra_main.cc)")
+    m.declare_scalar("src", bio.GMTYPE_NODE, True, False, default=0)
+    m.declare_scalar("dst", bio.GMTYPE_NODE, True, False, default=1)
+    m.declare_property("len", bio.GMTYPE_INT, True, False, GM_EDGEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        from ..models.delta_stepping import delta_stepping
+        g = ctx.graph
+        w = np.zeros(g.e_pad, np.int32)
+        if "len" in ctx.edge_props:
+            w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
+        else:
+            from ..utils.gm_rand import sssp_edge_lengths
+            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+        res = delta_stepping(g, int(ctx.scalars["src"]),
+                             jnp.asarray(w))
+        d = np.asarray(res.dist)
+        dst = int(ctx.scalars["dst"])
+        cost = int(d[dst])
+        if cost >= np.iinfo(np.int32).max // 2:
+            print("weight   -1 ,hops  -1, path=NO_PATH_EXISTS")
+        else:
+            print(f"weight {cost:4d} ,hops  -1, path=FOUND")
+        return {}
+
+    m.set_run(run)
+    return m
+
+
+def make_potential_friends() -> UserMain:
+    m = UserMain("potential_friends", "Friend-of-friend candidates "
+                 "(potential_friends.gm; bit-matrix set property)")
+    m.declare_scalar("return", bio.GMTYPE_LONG, False, True)
+
+    def run(ctx: RunContext) -> Dict:
+        from ..models.analytics import potential_friends
+        pf = np.asarray(potential_friends(ctx.graph))
+        n = ctx.graph.num_nodes
+        total = int(pf[:n, :n].sum())
+        print(f"potential friend pairs = {total}")
+        return {"return": total}
+
+    m.set_run(run)
+    return m
+
+
 APPS = {
     "pagerank": make_pagerank,
     "hop_dist": make_hop_dist,
     "sssp": make_sssp,
     "triangle_counting": make_triangle_counting,
     "conduct": make_conduct,
+    "conduct_main": make_conduct_main,
     "weak_cc": make_cc,
+    "avg_teen_cnt": make_avg_teen_cnt,
+    "bc": make_bc,
+    "sssp_path": make_sssp_path,
+    "kosaraju": make_scc,
+    "tarjan_scc": lambda: make_scc("tarjan_scc"),
+    "v_cover": make_v_cover,
+    "communities": make_communities,
+    "random_node_sampling": make_random_node_sampling,
+    "random_degree_node_sampling": make_random_degree_node_sampling,
+    "random_walk_sampling_with_random_jump": make_random_walk_sampling,
+    "random_bipartite_matching": make_random_bipartite_matching,
+    "sssp_dijkstra": make_sssp_dijkstra,
+    "potential_friends": make_potential_friends,
 }
 
 

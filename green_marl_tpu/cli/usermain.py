@@ -64,6 +64,7 @@ class RunContext:
     edge_props: Dict[str, np.ndarray]   # CSR slot order
     scalars: Dict[str, Any]
     nodekey: Optional[np.ndarray] = None
+    options: Optional[Any] = None   # the UserOpt instance (flag access)
 
 
 class UserMain:
@@ -158,7 +159,7 @@ class UserMain:
                          csr_perm=perm if perm is not None else
                          np.arange(g.num_edges),
                          node_props={}, edge_props={}, scalars={},
-                         nodekey=nodekey)
+                         nodekey=nodekey, options=self.O)
         for s, arr in zip(in_nprops, nprop_arrays):
             ctx.node_props[s.name] = arr
         for s, arr in zip(in_eprops, eprop_arrays):

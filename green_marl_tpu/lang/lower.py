@@ -61,6 +61,88 @@ from ..graph.csr import Graph
 from ..ops import segment as ops
 
 
+class _CtxMapHist:
+    """``Map<Node, Int>`` declared inside a parallel node loop
+    (communities.gm): one logical histogram per outer node.  Increments
+    recorded in edge space are reduced on demand into per-outer-node
+    (max count, arg-max key, count-of-key) vectors via a composite-key
+    sort + run-length encoding — the scatter-free TPU formulation of the
+    reference's per-iteration hash map (``gm_map.h``).
+
+    Tie-breaks pick the smallest key (the reference's hash-iteration
+    order is unspecified); an empty histogram reports HasMaxValue=True
+    (no evidence against the queried key — keeps label propagation from
+    diverging on isolated nodes).
+    """
+
+    def __init__(self, n_pad: int):
+        self.n_pad = n_pad
+        self.entries = []    # (keys, weights, mask, outer_ids)
+        self.cache = None
+
+    def _runs(self):
+        if self.cache is not None:
+            return self.cache
+        if not self.entries:
+            raise LowerError("per-node map read before any increment")
+        n_pad = self.n_pad
+        xs, labs, ws = [], [], []
+        for k, v, mask, outer in self.entries:
+            xs.append(jnp.where(mask, outer, n_pad).astype(jnp.int32))
+            labs.append(jnp.where(mask, k, n_pad).astype(jnp.int32))
+            ws.append(jnp.where(mask, v, 0).astype(jnp.int32))
+        x = jnp.concatenate(xs)
+        lab = jnp.concatenate(labs)
+        w = jnp.concatenate(ws)
+        x_s, lab_s, w_s = jax.lax.sort((x, lab, w), num_keys=2)
+        S = x_s.shape[0]
+        prev_x = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                  x_s[:-1]])
+        prev_l = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                  lab_s[:-1]])
+        change = (x_s != prev_x) | (lab_s != prev_l)
+        run_id = jnp.cumsum(change.astype(jnp.int32)) - 1
+        counts = jax.ops.segment_sum(w_s, run_id, num_segments=S,
+                                     indices_are_sorted=True)
+        run_x = jax.ops.segment_max(x_s, run_id, num_segments=S,
+                                    indices_are_sorted=True)
+        run_lab = jax.ops.segment_max(lab_s, run_id, num_segments=S,
+                                      indices_are_sorted=True)
+        valid = (run_x < n_pad) & (run_lab < n_pad) & (counts > 0)
+        counts = jnp.where(valid, counts, 0)
+        seg = jnp.where(valid, run_x, n_pad)
+        maxc = jax.ops.segment_max(counts, seg,
+                                   num_segments=n_pad + 1)[:n_pad]
+        maxc = jnp.maximum(maxc, 0)
+        is_best = valid & (counts == maxc[jnp.minimum(run_x, n_pad - 1)])
+        maxkey = jax.ops.segment_min(
+            jnp.where(is_best, run_lab, jnp.iinfo(jnp.int32).max),
+            seg, num_segments=n_pad + 1)[:n_pad]
+        self.cache = (seg, run_lab, counts, valid, maxc, maxkey)
+        return self.cache
+
+    def max_count(self):
+        return self._runs()[4]
+
+    def max_key(self):
+        """[n_pad] arg-max key per outer node (smallest on ties);
+        INT32_MAX where the histogram is empty."""
+        return self._runs()[5]
+
+    def count_of(self, kvec):
+        seg, run_lab, counts, valid, _, _ = self._runs()
+        n_pad = self.n_pad
+        kv = jnp.asarray(kvec)
+        hit = valid & (run_lab == kv[jnp.minimum(seg, n_pad - 1)])
+        return jax.ops.segment_max(
+            jnp.where(hit, counts, 0), seg,
+            num_segments=n_pad + 1)[:n_pad]
+
+    def has_max_value(self, kvec):
+        maxc = self.max_count()
+        return (maxc == 0) | (self.count_of(kvec) == maxc)
+
+
 class RaceWarning(UserWarning):
     """A parallel write-write/read-write conflict detected by RW analysis.
 
@@ -90,6 +172,21 @@ def dtype_of_kind(kind: str):
     if kind == "BOOL":
         return jnp.bool_
     raise LowerError(f"no dtype for type kind {kind}")
+
+
+def _alloc_prop(g: "Graph", loc: str, dt):
+    """Allocate an unsupplied property argument.
+
+    ``dt == "NSET"`` is an ``N_P<Node_Set>`` (potential_friends.gm):
+    represented as an [N_pad, N_pad] bit matrix — same O(N * set)
+    worst-case memory as the reference's gm_property_of_collection of
+    bitmap sets, with an explicit scale guard."""
+    if dt == "NSET":
+        if g.n_pad > 8192:
+            raise LowerError(
+                "N_P<Node_Set> bit-matrix limited to 8192 nodes")
+        return jnp.zeros((g.n_pad, g.n_pad), jnp.bool_)
+    return g.node_prop(0, dt) if loc == "N" else g.edge_prop(0, dt)
 
 
 def _coerce(val, dtype):
@@ -247,6 +344,8 @@ def _lhs_key(lhs) -> str:
         return lhs.name
     if isinstance(lhs, A.Field):
         return _F + lhs.prop
+    if isinstance(lhs, A.MapAccess):
+        return lhs.map_name
     raise LowerError(f"unsupported assignment target {type(lhs).__name__}")
 
 
@@ -286,6 +385,9 @@ def written_keys(stmt) -> Set[str]:
             if c.driver is not None and \
                     c.name.lower() in _MUTATE_METHODS:
                 out.add(c.driver)
+            elif c.driver_field is not None and \
+                    c.name.lower() in _MUTATE_METHODS:
+                out.add(_F + c.driver_field.prop)
         elif isinstance(s, A.ForeignStmt):
             pass
         else:
@@ -401,7 +503,8 @@ class Lowerer:
                 elif t.is_property():
                     self.props[name] = (
                         "N" if t.kind == "NODEPROP" else "E",
-                        dtype_of_kind(t.elem.kind))
+                        "NSET" if t.elem.kind == "NSET"
+                        else dtype_of_kind(t.elem.kind))
                 elif t.kind == "NSET":
                     # bitmap over the padded node space (gm_set.h:8);
                     # stored in env as a [N_pad] bool array
@@ -577,6 +680,11 @@ class Lowerer:
             b = self.eval(e.els, env, ctx)
             a, b = self._unify(a, b)
             return jnp.where(c, a, b)
+        if isinstance(e, A.MapAccess):
+            m = env.get(e.map_name)
+            if m is None or self.collections.get(e.map_name) != "MAP":
+                raise LowerError(f"unbound map {e.map_name}")
+            return m.get(jnp.asarray(self.eval(e.key, env, ctx)))
         if isinstance(e, A.Builtin):
             return self._builtin(e, env, ctx)
         if isinstance(e, A.ReduceExpr):
@@ -592,6 +700,36 @@ class Lowerer:
         dt = jnp.promote_types(a.dtype, b.dtype)
         return a.astype(dt), b.astype(dt)
 
+    @staticmethod
+    def _inf_vs_int(x, other):
+        """Comparing an integer operand against the ±INF literal: the
+        reference saturates INF to the integer extrema (``(int)+INF ==
+        INT_MAX``, gm_coercion), so an int32 value INT32_MAX *equals*
+        +INF.  Promoting to float32 instead would make INT32_MAX != inf
+        (f32 can't distinguish them) — the bidir_dijkstra guard bug."""
+        x = jnp.asarray(x)
+        other = jnp.asarray(other)
+        if not (jnp.issubdtype(other.dtype, jnp.integer)
+                and jnp.issubdtype(x.dtype, jnp.floating)
+                and x.ndim == 0):
+            return None
+        xv = x if not isinstance(x, jax.core.Tracer) else None
+        if xv is None or not np.isinf(np.asarray(jax.device_get(xv))):
+            return None
+        info = jnp.iinfo(other.dtype)
+        return jnp.asarray(
+            info.max if float(jax.device_get(xv)) > 0 else info.min,
+            other.dtype)
+
+    def _cmp_args(self, a, b):
+        sat = self._inf_vs_int(a, b)
+        if sat is not None:
+            return sat, jnp.asarray(b)
+        sat = self._inf_vs_int(b, a)
+        if sat is not None:
+            return jnp.asarray(a), sat
+        return self._unify(a, b)
+
     def _binop(self, e: A.BinOp, env, ctx):
         a = self.eval(e.lhs, env, ctx)
         b = self.eval(e.rhs, env, ctx)
@@ -601,10 +739,10 @@ class Lowerer:
         if op == "||":
             return a | b
         if op in ("==", "!="):
-            a, b = self._unify(a, b)
+            a, b = self._cmp_args(a, b)
             return (a == b) if op == "==" else (a != b)
         if op in ("<", "<=", ">", ">="):
-            a, b = self._unify(a, b)
+            a, b = self._cmp_args(a, b)
             return {"<": a < b, "<=": a <= b,
                     ">": a > b, ">=": a >= b}[op]
         a, b = self._unify(a, b)
@@ -672,6 +810,39 @@ class Lowerer:
         if e.driver in self.collections:
             coll = env[e.driver]
             kind = self.collections[e.driver]
+            if kind == "CTXHIST":
+                if ctx is None or ctx.kind != "node":
+                    raise LowerError("per-node map read outside its "
+                                     "node loop")
+                if name == "hasmaxvalue":
+                    return coll.has_max_value(
+                        self.eval(e.args[0], env, ctx))
+                if name == "getmaxkey":
+                    return coll.max_key()
+                if name == "getmaxvalue":
+                    return coll.max_count()
+                raise LowerError(
+                    f"per-node map builtin {e.name} not lowerable")
+            if kind == "MAP":
+                if name == "size":
+                    return coll.size()
+                if name == "haskey":
+                    return coll.has_key(self.eval(e.args[0], env, ctx))
+                if name == "getminkey":
+                    return coll.min_key()
+                if name == "getmaxkey":
+                    return coll.max_key()
+                if name == "getminvalue":
+                    return coll.min_value()
+                if name == "getmaxvalue":
+                    return coll.max_value()
+                if name == "hasminvalue":
+                    return coll.has_min_value(
+                        self.eval(e.args[0], env, ctx))
+                if name == "hasmaxvalue":
+                    return coll.has_max_value(
+                        self.eval(e.args[0], env, ctx))
+                raise LowerError(f"map builtin {e.name} not lowerable")
             if kind == "NSET":
                 if name == "has":
                     v = self.eval(e.args[0], env, ctx)
@@ -1040,9 +1211,46 @@ class Lowerer:
         (``gm_set.h``/``gm_seq.h`` verbs; select_par runs collection
         iteration sequentially, we vectorize Add under the ctx mask)."""
         name = b.name.lower()
+        if b.driver is None and b.driver_field is not None:
+            f = b.driver_field
+            if f.prop in self.props and self.props[f.prop][1] == "NSET":
+                # set-valued node property (N_P<Node_Set>): bit-matrix
+                # update v.potFriend.Add(w)
+                arr = env[_F + f.prop]
+                n_pad = arr.shape[0]
+                rows = jnp.asarray(self._ident(f.driver, env, ctx))
+                if name in ("add", "remove"):
+                    cols = jnp.asarray(self.eval(b.args[0], env, ctx))
+                    if ctx is not None:
+                        mask = ctx.mask
+                        rows = jnp.broadcast_to(rows, mask.shape)
+                        cols = jnp.where(mask,
+                                         jnp.broadcast_to(cols,
+                                                          mask.shape),
+                                         n_pad)  # OOB -> dropped
+                    new = arr.at[rows, cols].set(name == "add")
+                    self._wr(env, _F + f.prop, new)
+                    return
+                raise LowerError(
+                    f"set-property method {b.name} not lowerable yet")
         if b.driver in self.collections:
             kind = self.collections[b.driver]
             cur = env[b.driver]
+            if kind == "MAP":
+                if name == "remove":
+                    if ctx is not None:
+                        raise LowerError("map Remove inside a parallel "
+                                         "loop not lowerable")
+                    k = self.eval(b.args[0], env, ctx)
+                    self._wr(env, b.driver, cur.remove(k))
+                    return
+                if name == "clear":
+                    from ..runtime.collections import DenseNodeMap
+                    self._wr(env, b.driver, DenseNodeMap.empty(
+                        cur.val.shape[0], cur.val.dtype))
+                    return
+                raise LowerError(
+                    f"map method {b.name} not lowerable yet")
             if kind == "NSET":
                 if name == "add":
                     v = self.eval(b.args[0], env, ctx)
@@ -1106,8 +1314,30 @@ class Lowerer:
                              if t.kind == "NSEQ"
                              else NodeOrder.empty(self.g.n_pad,
                                                   self.g.n_pad))
-            elif t.is_collection() or t.kind == "MAP":
-                raise LowerError(f"collection/map local {name} not "
+            elif t.kind == "MAP":
+                # Map<Node, V> -> dense value+presence arrays
+                # (gm_map.h:12-680; node-keyed, so the hash map becomes
+                # a [N_pad] slab — reference small/medium/large split is
+                # an XLA non-issue)
+                if t.key is None or t.key.kind != "NODE":
+                    raise LowerError(
+                        f"map local {name}: only Map<Node, V> lowerable")
+                if ctx is not None:
+                    if ctx.kind != "node":
+                        raise LowerError("map local outside a node "
+                                         "loop not lowerable")
+                    # per-node histogram (communities.gm)
+                    self.collections[name] = "CTXHIST"
+                    env[name] = _CtxMapHist(self.g.n_pad)
+                    ctx.locals.add(name)
+                    continue
+                from ..runtime.collections import DenseNodeMap
+                self.collections[name] = "MAP"
+                vdt = (dtype_of_kind(t.value.kind)
+                       if t.value is not None else jnp.int32)
+                env[name] = DenseNodeMap.empty(self.g.n_pad, vdt)
+            elif t.is_collection():
+                raise LowerError(f"collection local {name} not "
                                  "lowerable yet")
             else:
                 dt = dtype_of_kind(t.kind)
@@ -1129,8 +1359,68 @@ class Lowerer:
             return self.props[lhs.prop][1]
         return None
 
+    def _exec_ctx_hist_add(self, hist, s, env, ctx, op):
+        """Record ``T[k] += w`` increments of a per-node map declared in
+        a parallel node loop (communities.gm's label histogram)."""
+        if op != "SUM":
+            raise LowerError("per-node map supports += only")
+        if ctx is None or ctx.kind not in ("edge", "wedge"):
+            raise LowerError("per-node map += outside a neighbor loop")
+        k = jnp.asarray(self.eval(s.lhs.key, env, ctx))
+        v = jnp.asarray(self.eval(s.rhs, env, ctx), jnp.int32)
+        mask = ctx.mask
+        outer = (ctx.outer_ids if ctx.kind == "edge"
+                 else ctx.outer_ids)
+        hist.entries.append((
+            jnp.broadcast_to(k, mask.shape),
+            jnp.broadcast_to(v, mask.shape),
+            mask, jnp.broadcast_to(jnp.asarray(outer), mask.shape)))
+        hist.cache = None
+
+    def _exec_map_assign(self, s, env, ctx, op=None):
+        """``M[k] = v`` / ``M[k] += v`` on a dense node-keyed map."""
+        lhs = s.lhs
+        m = env.get(lhs.map_name)
+        if isinstance(m, _CtxMapHist):
+            return self._exec_ctx_hist_add(m, s, env, ctx, op)
+        if m is None or self.collections.get(lhs.map_name) != "MAP":
+            raise LowerError(f"unbound map {lhs.map_name}")
+        k = jnp.asarray(self.eval(lhs.key, env, ctx))
+        v = _coerce(self.eval(s.rhs, env, ctx), m.val.dtype)
+        if ctx is None and k.ndim == 0:
+            if op is None:
+                self._wr(env, lhs.map_name, m.set(k, v))
+            elif op == "SUM":
+                self._wr(env, lhs.map_name, m.add(k, v))
+            else:
+                raise LowerError(f"map {op}= not lowerable yet")
+            return
+        # vector keys under a parallel context
+        mask = ctx.mask if ctx is not None else jnp.ones(k.shape, bool)
+        kv = jnp.broadcast_to(k, mask.shape)
+        vv = jnp.broadcast_to(jnp.asarray(v), mask.shape)
+        n_pad = m.val.shape[0]
+        drop_ids = jnp.where(mask, kv, n_pad)   # OOB scatters drop
+        if op is None:
+            # duplicate keys: deterministic lowest-slot winner (same
+            # policy as racy property writes; reference is last-wins)
+            val = self._det_scatter_set(m.val, kv, vv, mask)
+        elif op == "SUM":
+            sums = jax.ops.segment_sum(
+                jnp.where(mask, vv, 0), jnp.minimum(drop_ids, n_pad),
+                num_segments=n_pad + 1)[:n_pad]
+            base = jnp.where(m.present, m.val, 0)
+            val = base + sums
+        else:
+            raise LowerError(f"map {op}= not lowerable yet")
+        pres = m.present.at[drop_ids].set(True)
+        from ..runtime.collections import DenseNodeMap
+        self._wr(env, lhs.map_name, DenseNodeMap(val, pres))
+
     def _exec_assign(self, s: A.Assign, env, ctx):
         lhs = s.lhs
+        if isinstance(lhs, A.MapAccess):
+            return self._exec_map_assign(s, env, ctx)
         if isinstance(lhs, A.Ident):
             dt = self._target_dtype(lhs, env)
             val = self.eval(s.rhs, env, ctx)
@@ -1140,9 +1430,21 @@ class Lowerer:
                     lhs.name in env and not (
                         isinstance(env[lhs.name], jax.Array)
                         and env[lhs.name].ndim >= 1):
-                raise LowerError(
-                    f"plain write to outer scalar {lhs.name} inside a "
-                    "parallel loop (race; use a reduction)")
+                # Scalar WW race: the reference's check2 reports a
+                # warning and proceeds with last-store-wins
+                # (gm_rw_analysis_check2.cc is_warning=true for
+                # WW_CONFLICT).  Deterministic valid instance here:
+                # lowest-active-slot winner ("finished = False;" in
+                # communities.gm is the uniform special case).
+                vv = jnp.asarray(val)
+                cur = _coerce(jnp.asarray(env[lhs.name]), vv.dtype)
+                if vv.ndim == 0:
+                    win = vv
+                else:
+                    win = vv[jnp.argmax(ctx.mask)]
+                self._wr(env, lhs.name,
+                         jnp.where(jnp.any(ctx.mask), win, cur))
+                return
             self._wr(env, lhs.name, val)
             return
         if isinstance(lhs, A.Field):
@@ -1258,6 +1560,8 @@ class Lowerer:
     def _exec_reduce_assign(self, s: A.ReduceAssign, env, ctx):
         op = s.op
         lhs = s.lhs
+        if isinstance(lhs, A.MapAccess):
+            return self._exec_map_assign(s, env, ctx, op=op)
         if isinstance(lhs, A.Ident):
             dt = self._target_dtype(lhs, env)
             val = self.eval(s.rhs, env, ctx)
@@ -1299,6 +1603,38 @@ class Lowerer:
             new = _coerce(_combine(op, arr, val), dt)
             self._wr(env, key, jnp.where(ctx.mask, new, arr))
             return
+        if ctx.kind == "node" and loc == "N":
+            # reduction keyed by a per-slot local node vector
+            # (``m.TokenNxt ++`` with random m in the sampling walks):
+            # scatter-free segment reduction over arbitrary ids —
+            # the reference emits an atomic add here
+            # (gm_cpp_gen.cc:1526-1561)
+            idv = jnp.asarray(self._ident(lhs.driver, env, ctx))
+            if idv.ndim == 1 and idv.shape == ctx.mask.shape:
+                val = self.eval(s.rhs, env, ctx)
+                vals = jnp.broadcast_to(jnp.asarray(val), ctx.mask.shape)
+                if op in ("AND", "OR"):
+                    work = vals.astype(jnp.int8)
+                    sub = "min" if op == "AND" else "max"
+                    ident = _identity("MIN" if op == "AND" else "MAX",
+                                      jnp.int8)
+                else:
+                    ident = _identity(op, vals.dtype)
+                    sub = _SEG_OP.get(op)
+                    if sub is None:
+                        raise LowerError(
+                            f"{op}= with random target not lowerable")
+                    work = vals
+                work = jnp.where(ctx.mask, work, ident)
+                seg = {"add": ops.segment_sum, "min": ops.segment_min,
+                       "max": ops.segment_max}[sub](
+                    work, idv, ctx.g.n_pad, sorted_ids=False)
+                seg = self._pcomb(seg, sub)
+                if op in ("AND", "OR"):
+                    seg = seg > 0
+                new = _coerce(_combine(op, arr, seg), dt)
+                self._wr(env, key, new)
+                return
         if ctx.kind == "wedge":
             val = self.eval(s.rhs, env, ctx)
             vals = jnp.broadcast_to(jnp.asarray(val), ctx.mask.shape)
@@ -1660,12 +1996,20 @@ class Lowerer:
             if s.els is not None:
                 self.exec_stmt(s.els, env, ctx.with_mask(ctx.mask & ~c))
             return
-        if isinstance(cond, bool) or (isinstance(cond, np.bool_)):
-            if cond:
-                self.exec_stmt(s.then, env, ctx)
-            elif s.els is not None:
-                self.exec_stmt(s.els, env, ctx)
-            return
+        if not isinstance(cond, jax.core.Tracer):
+            # concrete condition (eager execution): take one branch —
+            # the faithful sequential semantics, and it keeps loops
+            # whose guard is false from running at all (bidir_dijkstra's
+            # path walk when no path was found)
+            try:
+                b = bool(np.asarray(jax.device_get(cond)))
+                if b:
+                    self.exec_stmt(s.then, env, ctx)
+                elif s.els is not None:
+                    self.exec_stmt(s.els, env, ctx)
+                return
+            except (TypeError, ValueError):
+                pass  # non-scalar: fall through to both-branch merge
         # traced scalar condition: run both branches, where-merge writes
         env_t = dict(env)
         self.exec_stmt(s.then, env_t, ctx)
@@ -1693,14 +2037,36 @@ class Lowerer:
                 tv2, ev2 = self._unify(tv, ev)
                 env[k] = jnp.where(cond, tv2, ev2)
 
+    def _uses_map(self, stmt) -> bool:
+        maps = {n for n, k in self.collections.items() if k == "MAP"}
+        if not maps:
+            return False
+        found = []
+
+        def scan(n):
+            if isinstance(n, A.MapAccess) and n.map_name in maps:
+                found.append(n)
+            if isinstance(n, A.Builtin) and n.driver in maps:
+                found.append(n)
+        _walk_ast(stmt, scan)
+        return bool(found)
+
     def _exec_while(self, s: A.While, env, ctx):
         if ctx is not None:
-            raise LowerError("while-loop inside a parallel loop")
+            return self._exec_while_masked(s, env, ctx)
         if contains_bfs(s.body):
             # BFS bodies are host-replayed per level (lower_bfs), so a
             # loop containing one runs as an eager host loop — matching
             # the reference, which marks BFS-containing bodies sequential
             # (gm_cpp_opt_select_par.cc).
+            return self._exec_while_eager(s, env)
+        if self._uses_map(s.body) or self._uses_map(s.cond):
+            # Map-driven loops (priority-map Dijkstra class,
+            # bidir_dijkstra.gm) are inherently sequential in the
+            # reference (gm_mutatable_priority_map is not thread-safe);
+            # run them host-eager: the traced both-branch If merge would
+            # evaluate GetMinKey on empty maps and push garbage through
+            # masked-write chains.
             return self._exec_while_eager(s, env)
         wkeys = written_keys(s.body)
         dkeys = declared_keys(s.body)
@@ -1750,6 +2116,74 @@ class Lowerer:
                 out.append(v.astype(dt))
             return tuple(out)
 
+        final = jax.lax.while_loop(cond_fn, body_fn, init)
+        for k, v in zip(carry_keys, final):
+            env[k] = v
+
+    def _exec_while_masked(self, s: A.While, env, ctx):
+        """Per-slot While inside a parallel node loop
+        (``While (n.Token > 0)`` in parallel_random_walk_jump_sampling):
+        one traced ``lax.while_loop`` whose body runs with the mask
+        narrowed to the still-active slots — each slot exits its own
+        loop independently, like each OpenMP thread exiting its private
+        while in the reference's generated code."""
+        if ctx.kind != "node":
+            raise LowerError("while-loop inside a non-node parallel "
+                             "context not lowerable")
+        wkeys = written_keys(s.body)
+        dkeys = declared_keys(s.body)
+        if uses_rng(s.body) or uses_rng(s.cond):
+            wkeys.add(_RNG)
+            env.setdefault(_RNG, jnp.zeros((), jnp.uint32))
+        carry_keys = sorted((wkeys - dkeys) - {_RET, _DONE})
+        if (_RET in wkeys) or (_DONE in wkeys):
+            raise LowerError("Return inside a masked While")
+        for k in carry_keys:
+            if k not in env:
+                raise LowerError(f"loop writes undeclared symbol {k}")
+        init = tuple(jnp.asarray(env[k]) if isinstance(
+            env[k], (jax.Array, np.ndarray, int, float, bool))
+            else env[k] for k in carry_keys)
+        shapes = [(v.shape, v.dtype) if isinstance(v, jax.Array) else None
+                  for v in init]
+        lw = self
+
+        def overlay(carry):
+            e2 = dict(env)
+            for k, v in zip(carry_keys, carry):
+                e2[k] = v
+            return e2
+
+        def active_of(e2):
+            c = jnp.asarray(lw.eval(s.cond, e2, ctx))
+            c = jnp.broadcast_to(c, ctx.mask.shape)
+            return ctx.mask & c
+
+        def cond_fn(carry):
+            return jnp.any(active_of(overlay(carry)))
+
+        def body_fn(carry):
+            e2 = overlay(carry)
+            lw.exec_stmt(s.body, e2, ctx.with_mask(active_of(e2)))
+            out = []
+            for k, sd in zip(carry_keys, shapes):
+                if sd is None:
+                    out.append(e2[k])
+                    continue
+                shape, dt = sd
+                v = jnp.asarray(e2[k])
+                if v.shape != shape:
+                    raise LowerError(
+                        f"loop-carried {k} changes shape "
+                        f"{shape}->{v.shape}")
+                out.append(v.astype(dt))
+            return tuple(out)
+
+        if s.do_while:
+            e2 = overlay(init)
+            lw.exec_stmt(s.body, e2, ctx)
+            init = tuple(jnp.asarray(e2[k]) if sd is not None else e2[k]
+                         for k, sd in zip(carry_keys, shapes))
         final = jax.lax.while_loop(cond_fn, body_fn, init)
         for k, v in zip(carry_keys, final):
             env[k] = v
@@ -1883,8 +2317,7 @@ class CompiledProc:
                     # e.g. hop_dist's dist) and returned
                     loc, dt = lw.props[name]
                     out_names.append(name)
-                    env[_F + name] = (g.node_prop(0, dt) if loc == "N"
-                                      else g.edge_prop(0, dt))
+                    env[_F + name] = _alloc_prop(g, loc, dt)
                     continue
                 else:
                     raise TypeError(f"missing argument {name}")
@@ -1903,8 +2336,7 @@ class CompiledProc:
                         env[_F + name] = _coerce(jnp.asarray(kwargs[name]),
                                                  dt)
                     else:
-                        env[_F + name] = (g.node_prop(0, dt) if loc == "N"
-                                          else g.edge_prop(0, dt))
+                        env[_F + name] = _alloc_prop(g, loc, dt)
                 else:
                     env[name] = _coerce(
                         jnp.asarray(kwargs.get(name, 0)),

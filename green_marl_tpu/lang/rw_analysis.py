@@ -278,12 +278,14 @@ class RWAnalysis:
                     f"{self.filename}:{loc.line}: write-write "
                     f"conflict on '{w1.sym}' inside parallel loop "
                     f"'{it_var}' (random-access write)")
-            # scalar plain write in parallel loop
+            # scalar plain write in parallel loop: WW conflict, a
+            # *warning* like every WW in the reference's check2
+            # (lowering picks the lowest-active-slot winner)
             if w1.driver is None and w1.reduce_op is None:
-                self.errors.append(
-                    f"{self.filename}:{loc.line}: scalar '{w1.sym}' "
-                    f"written (non-reduction) inside parallel loop "
-                    f"'{it_var}'")
+                self.warnings.append(
+                    f"{self.filename}:{loc.line}: write-write "
+                    f"conflict on scalar '{w1.sym}' inside parallel "
+                    f"loop '{it_var}'")
         # RW
         for r in body.reads:
             for w in body.writes:

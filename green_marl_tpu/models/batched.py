@@ -268,7 +268,12 @@ class BitBfsResult(NamedTuple):
 
 def _bit_popstats(newly, deg_rows, lanes, bits=8):
     """Per-instance (lane*8+bit) counts and degree-weighted counts from a
-    [n_rows, lanes] uint8 plane."""
+    [n_rows, lanes] uint8 plane.
+
+    Counters are per-instance int32: a single instance traverses at most
+    E edges (< 2^31 for every supported workload incl. twitter_rv's
+    1.46B); callers aggregate across instances on the host in int64 —
+    device-side int64 is unavailable without jax_enable_x64."""
     one = jnp.ones((), newly.dtype)
     cnts = []
     travs = []
@@ -276,7 +281,7 @@ def _bit_popstats(newly, deg_rows, lanes, bits=8):
         p = ((newly >> i) & one).astype(jnp.int32)      # [n_rows, lanes]
         cnts.append(jnp.sum(p, axis=0))                  # [lanes]
         travs.append(jnp.sum(p * deg_rows[:, None], axis=0,
-                             dtype=jnp.int64))
+                             dtype=jnp.int32))
     # instance index convention: b = lane * 8 + bit
     cnt = jnp.stack(cnts, axis=1).reshape(-1)            # [lanes*8]
     trav = jnp.stack(travs, axis=1).reshape(-1)

@@ -171,28 +171,33 @@ def bfs_many_sequential(g: Graph, roots: jax.Array,
                         max_iter: int | None = None):
     """Run full BFS from each of ``roots`` *sequentially on device* in one
     compiled program; returns (total_levels, total_reached,
-    total_traversed_edges, last_level_array).
+    per_root_traversed_edges [R] int32, last_level_array).
 
     Exists for honest benchmarking over a high-latency host link: one
     host round-trip amortized over ``len(roots)`` complete BFS runs
     (the reference measures each binary run separately —
     ``common_main.h:196-205`` — but has no 100ms dispatch tax).
+
+    Traversed edges are returned per root (each < E < 2^31); sum them on
+    the host in int64 — an int64 device accumulator would silently
+    truncate without jax_enable_x64.
     """
     if max_iter is None:
         max_iter = g.num_nodes + 1
-    deg = g.out_degree().astype(jnp.int64)
+    deg = g.out_degree().astype(jnp.int32)
+    n_roots = roots.shape[0]
 
     def one(i, carry):
-        tot_lv, tot_reach, tot_trav, _ = carry
+        tot_lv, tot_reach, trav_arr, _ = carry
         res = bfs(g, roots[i], max_iter=max_iter)
         trav = jnp.sum(jnp.where(res.level >= 0, deg, 0))
         return (tot_lv + res.levels_run, tot_reach + res.reached,
-                tot_trav + trav, res.level)
+                trav_arr.at[i].set(trav), res.level)
 
     init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int64),
+            jnp.zeros((n_roots,), jnp.int32),
             jnp.zeros((g.n_pad,), jnp.int32))
-    return jax.lax.fori_loop(0, roots.shape[0], one, init)
+    return jax.lax.fori_loop(0, n_roots, one, init)
 
 
 def level_masks(level: jax.Array, max_levels: int) -> jax.Array:

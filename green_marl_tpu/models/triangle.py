@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph, round_up
+from ..utils.limbs import limb_add, limb_value, limb_zero
 
 
 class DagContext(NamedTuple):
@@ -85,10 +86,13 @@ def build_dag(g: Graph) -> DagContext:
     if D < d_pad:
         pair_cum[D + 1:] = pair_cum[D]
 
+    # int32 on device (x64 off); counts beyond int32 are rejected at the
+    # count entry points before these arrays are indexed
     return DagContext(
-        dag_begin=jnp.asarray(dag_begin),
-        dag_dst=jnp.asarray(dag_dst),
-        pair_cum=jnp.asarray(pair_cum),
+        dag_begin=jnp.asarray(dag_begin.astype(np.int32)),
+        dag_dst=jnp.asarray(dag_dst.astype(np.int32)),
+        pair_cum=jnp.asarray(np.minimum(pair_cum, 2**31 - 1)
+                             .astype(np.int32)),
         num_wedges=int(pair_cum[D]),
         num_dag_edges=D,
     )
@@ -122,7 +126,7 @@ def _count_wedges(dag_begin, dag_dst, pair_cum, num_wedges: int,
             (dag_dst[jnp.clip(lo, 0, dag_dst.shape[0] - 1)] == c)
 
     def do_chunk(ci, acc):
-        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int64)
+        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
         valid = k < num_wedges
         kk = jnp.minimum(k, num_wedges - 1)
         # anchor slot i: largest i with pair_cum[i] <= kk
@@ -132,10 +136,9 @@ def _count_wedges(dag_begin, dag_dst, pair_cum, num_wedges: int,
         b = dag_dst[i]
         c = dag_dst[j]
         hit = row_contains(b, c) & valid
-        return acc + jnp.sum(hit.astype(jnp.int64))
+        return limb_add(acc, jnp.sum(hit.astype(jnp.int32)))
 
-    return jax.lax.fori_loop(0, num_chunks, do_chunk,
-                             jnp.zeros((), jnp.int64))
+    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
 
 
 def triangle_count(g: Graph, chunk: int = 1 << 20) -> int:
@@ -146,10 +149,16 @@ def triangle_count(g: Graph, chunk: int = 1 << 20) -> int:
     ctx = build_dag(g)
     if ctx.num_wedges == 0:
         return 0
+    if ctx.num_wedges >= 2 ** 31 - (1 << 21):
+        # flat wedge ids are int32 on device (x64 disabled); beyond this
+        # the enumeration must be split into sub-ranges — not a bundled
+        # workload (LJ's oriented wedge count is ~1.8e9 < 2^31)
+        raise NotImplementedError(
+            f"wedge id space {ctx.num_wedges} exceeds int32")
     chunk = min(chunk, round_up(ctx.num_wedges))
     t = _count_wedges(ctx.dag_begin, ctx.dag_dst, ctx.pair_cum,
                       ctx.num_wedges, chunk)
-    return int(t)
+    return limb_value(t)
 
 
 def triangle_count_np(begin, node_idx):
@@ -235,9 +244,10 @@ def build_literal(g: Graph) -> LiteralCtx:
     jbase_pad[:F] = jbase_np
 
     return LiteralCtx(
-        f_dst=jnp.asarray(f_dst_pad),
-        jbase=jnp.asarray(jbase_pad),
-        pair_cum=jnp.asarray(pair_cum),
+        f_dst=jnp.asarray(f_dst_pad.astype(np.int32)),
+        jbase=jnp.asarray(jbase_pad.astype(np.int32)),
+        pair_cum=jnp.asarray(np.minimum(pair_cum, 2**31 - 1)
+                             .astype(np.int32)),
         num_wedges=int(pair_cum[F]) if F else 0,
     )
 
@@ -250,7 +260,7 @@ def _count_wedges_literal(g: Graph, f_dst, jbase, pair_cum,
     num_chunks = (num_wedges + chunk - 1) // chunk
 
     def do_chunk(ci, acc):
-        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int64)
+        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
         valid = k < num_wedges
         kk = jnp.minimum(k, num_wedges - 1)
         i = jnp.searchsorted(pair_cum, kk, side="right") - 1
@@ -261,10 +271,9 @@ def _count_wedges_literal(g: Graph, f_dst, jbase, pair_cum,
         uu = jnp.clip(u, 0, g.num_nodes - 1).astype(g.node_dtype)
         ww = jnp.clip(w, 0, g.num_nodes - 1).astype(g.node_dtype)
         hit = has_edge_to(g, ww, uu) & valid & (u < g.num_nodes)
-        return acc + jnp.sum(hit.astype(jnp.int64))
+        return limb_add(acc, jnp.sum(hit.astype(jnp.int32)))
 
-    return jax.lax.fori_loop(0, num_chunks, do_chunk,
-                             jnp.zeros((), jnp.int64))
+    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
 
 
 def triangle_count_literal(g: Graph, chunk: int = 1 << 20) -> int:
@@ -274,7 +283,10 @@ def triangle_count_literal(g: Graph, chunk: int = 1 << 20) -> int:
     ctx = build_literal(g)
     if ctx.num_wedges == 0:
         return 0
+    if ctx.num_wedges >= 2 ** 31 - (1 << 21):
+        raise NotImplementedError(
+            f"wedge id space {ctx.num_wedges} exceeds int32")
     chunk = min(chunk, round_up(ctx.num_wedges))
     t = _count_wedges_literal(g, ctx.f_dst, ctx.jbase, ctx.pair_cum,
                               ctx.num_wedges, chunk)
-    return int(t)
+    return limb_value(t)

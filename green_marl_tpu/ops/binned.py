@@ -233,12 +233,16 @@ def build_binned(offsets: np.ndarray, neigh: np.ndarray,
     slot_edge = (np.concatenate(slot_edge_parts) if slot_edge_parts
                  else np.zeros(0, np.int32)).astype(np.int32)
 
+    # leaves stay host-side numpy: callers move them to the device with
+    # ONE jax.device_put(bp) — the fast bulk-transfer path.  jnp.asarray
+    # here would serialize through the slow per-array conversion path on
+    # remote-tunnel platforms (measured 10x slower than device_put).
     return BinnedPull(
-        slot_src=jnp.asarray(slot_src),
-        slot_edge=jnp.asarray(slot_edge),
-        hub_owner=jnp.asarray(hub_owner),
-        perm=jnp.asarray(order),
-        inv_perm=jnp.asarray(inv_order),
+        slot_src=slot_src,
+        slot_edge=slot_edge,
+        hub_owner=hub_owner,
+        perm=order,
+        inv_perm=inv_order,
         bins=tuple(bins),
         n_nodes=N,
         n_rows=n_rows,
@@ -332,6 +336,46 @@ def edge_map(bp: BinnedPull, table: jax.Array, op: str = "sum",
     pad = bp.n_rows - body.shape[0]
     return jnp.concatenate(
         [body, jnp.full((pad, B), ident, table.dtype)], axis=0)
+
+
+def to_arrays(bp: BinnedPull) -> dict:
+    """Flatten to a dict of numpy arrays for np.savez — the analog of
+    the reference's one-time convert-to-binary step (README.md:28-33):
+    build the schedule once, reload it per run."""
+    d = {f: np.asarray(getattr(bp, f))
+         for f in ("slot_src", "slot_edge", "hub_owner", "perm",
+                   "inv_perm")}
+    d["bins"] = np.asarray(bp.bins, np.int64).reshape(-1, 4)
+    d["meta"] = np.asarray([bp.n_nodes, bp.n_rows, bp.n_hub,
+                            bp.hub_row_off, bp.n_hub_chunks, bp.e_pad,
+                            bp.w_max], np.int64)
+    return d
+
+
+def from_arrays(d) -> BinnedPull:
+    meta = [int(x) for x in np.asarray(d["meta"])]
+    return BinnedPull(
+        slot_src=d["slot_src"], slot_edge=d["slot_edge"],
+        hub_owner=d["hub_owner"], perm=d["perm"],
+        inv_perm=d["inv_perm"],
+        bins=tuple(tuple(int(v) for v in row)
+                   for row in np.asarray(d["bins"])),
+        n_nodes=meta[0], n_rows=meta[1], n_hub=meta[2],
+        hub_row_off=meta[3], n_hub_chunks=meta[4], e_pad=meta[5],
+        w_max=meta[6])
+
+
+def device_put_lite(bp: BinnedPull, with_edges: bool = False):
+    """Move the schedule to the device, skipping ``slot_edge`` (needed
+    only for edge-weighted maps) unless requested — it is as large as
+    ``slot_src`` and pure transfer cost otherwise."""
+    se = (np.asarray(bp.slot_edge) if with_edges
+          else np.zeros(8, np.int32))
+    return jax.device_put(dataclasses.replace(
+        bp,
+        slot_src=np.asarray(bp.slot_src), slot_edge=se,
+        hub_owner=np.asarray(bp.hub_owner),
+        perm=np.asarray(bp.perm), inv_perm=np.asarray(bp.inv_perm)))
 
 
 def edge_slot_vals(bp: BinnedPull, edge_vals: jax.Array,

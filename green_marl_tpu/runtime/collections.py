@@ -137,6 +137,81 @@ class NodeOrder:
         return self.member[v]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseNodeMap:
+    """``Map<Node, V>`` as dense value + presence arrays
+    (``gm_map_small/medium/large``, gm_map.h:12-680 — keyed by node id,
+    so the dense [N_pad] layout replaces the hash map; the
+    small/medium/large split is an XLA non-issue).
+
+    Min/max queries break value ties by smallest key — a deterministic
+    valid instance of the reference's unspecified hash iteration order.
+    """
+    val: jax.Array       # [N_pad] value dtype
+    present: jax.Array   # [N_pad] bool
+
+    @staticmethod
+    def empty(n_pad: int, dtype=jnp.int32) -> "DenseNodeMap":
+        return DenseNodeMap(jnp.zeros((n_pad,), dtype),
+                            jnp.zeros((n_pad,), jnp.bool_))
+
+    def set(self, k, v) -> "DenseNodeMap":
+        return DenseNodeMap(self.val.at[k].set(v),
+                            self.present.at[k].set(True))
+
+    def add(self, k, v) -> "DenseNodeMap":
+        """changeValueAtomicAdd: absent key maps to the summand."""
+        cur = jnp.where(self.present[k], self.val[k], 0)
+        return DenseNodeMap(self.val.at[k].set(cur + v),
+                            self.present.at[k].set(True))
+
+    def get(self, k):
+        """Reads of absent keys yield the default value (gm_map
+        getDefaultValue: V())."""
+        return jnp.where(self.present[k], self.val[k],
+                         jnp.zeros((), self.val.dtype))
+
+    def remove(self, k) -> "DenseNodeMap":
+        return DenseNodeMap(self.val, self.present.at[k].set(False))
+
+    def has_key(self, k):
+        return self.present[k]
+
+    def size(self):
+        return jnp.sum(self.present.astype(jnp.int32))
+
+    def _masked(self, for_min: bool):
+        if jnp.issubdtype(self.val.dtype, jnp.integer):
+            big = jnp.iinfo(self.val.dtype).max
+            small = jnp.iinfo(self.val.dtype).min
+        else:
+            big, small = jnp.inf, -jnp.inf
+        fill = big if for_min else small
+        return jnp.where(self.present, self.val,
+                         jnp.asarray(fill, self.val.dtype))
+
+    def min_key(self):
+        """Key with minimum value (getMinKey_seq); ties -> smallest key."""
+        return jnp.argmin(self._masked(True)).astype(jnp.int32)
+
+    def max_key(self):
+        m = self._masked(False)
+        return jnp.argmax(m).astype(jnp.int32)
+
+    def min_value(self):
+        return jnp.min(self._masked(True))
+
+    def max_value(self):
+        return jnp.max(self._masked(False))
+
+    def has_min_value(self, k):
+        return self.present[k] & (self.val[k] == self.min_value())
+
+    def has_max_value(self, k):
+        return self.present[k] & (self.val[k] == self.max_value())
+
+
 # -- node-keyed maps are dense property arrays ------------------------------
 
 def node_keyed_counts(keys: jax.Array, n_pad: int) -> jax.Array:

@@ -42,6 +42,9 @@ def arg_value(t, g, rng):
             return jnp.zeros((g.n_pad,), jnp.int32)
         if base == "BOOL":
             return jnp.zeros((g.n_pad,), jnp.bool_)
+        if base == "NSET":
+            return "SKIP"    # N_P<Node_Set>: let _bind allocate the
+            #                  bit matrix (potential_friends.gm)
         return jnp.zeros((g.n_pad,), jnp.float32)
     if k == "EDGEPROP":
         base = t.elem.kind if t.elem is not None else "DOUBLE"

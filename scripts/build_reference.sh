@@ -103,6 +103,109 @@ s = s.replace('''                   std::string original_array)
 s = s.replace('    assert (is_node); // If the input is not a node property, is it an edge property?',
               '    /* edge properties use the G.num_edges() sizing branch below */')
 open(rb + '/src/inc/gm_backend_cpp.h', 'w').write(s)
+# ---- round-3 patches: make the remaining cpp_omp apps generate ------------
+# The Shoal (sk_) codegen extension asserts/crashes on app shapes its
+# authors never exercised; relax it to best-effort (cost model only) so
+# the parity harness gets more reference binaries.
+
+# unknown array in sk_record_array_access -> skip recording
+patch('/src/inc/gm_backend_cpp.h',
+      """        string s(array_name);
+        assert (sk_gm_arrays.find(s) != sk_gm_arrays.end()); // otherwise the array name used is wrong
+""",
+      """        string s(array_name);
+        if (sk_gm_arrays.find(s) == sk_gm_arrays.end()) return; // unknown arrays: skip Shoal recording
+""")
+
+s2 = open(rb + '/src/backend_cpp/gm_cpp_gen.cc').read()
+s2 = s2.replace("""    else
+        assert (!"Unknown input to get_type_id");
+}""", """    else
+        return GMTYPE_INT; // cost-model only: unknown types sized as int
+}""")
+s2 = s2.replace("""        assert (!sk_fr_global_init);
+        sk_fr_global_init = true;""", """        sk_fr_global_init = true;""")
+# node_t/edge_t locals: the sk frame capture swallowed the type string,
+# leaving a bare identifier in the generated code (sssp's "e")
+s2 = s2.replace("""    } else {
+        generate_idlist(v->get_idlist());
+        skBody.pushln(";");
+    }
+
+    if (sk_on_frame) {""", """    } else {
+        Body.push_spc(get_type_string(t));
+        generate_idlist(v->get_idlist());
+        Body.pushln(";");
+        sk_on_frame = false;
+    }
+
+    if (sk_on_frame) {""")
+open(rb + '/src/backend_cpp/gm_cpp_gen.cc', 'w').write(s2)
+
+s2 = open(rb + '/src/backend_cpp/shl_extensions.cc').read()
+s2 = s2.replace("""            // SK: it can also be nodes -> nbs -> nbs, which is what?
+            assert(!"NYI: got LOOPS_NBS, but tail is not LOOP_NODES");""",
+"""            // nodes -> nbs -> nbs etc.: treat as another nbs level
+            shl__loops.push_back(LOOP_NBS);
+            break;""")
+s2 = s2.replace("""    default:
+        assert(!"Don't know how to determine cost for given loop type");
+    }""", """    default:
+        shl__loops.push_back(LOOP_NODES);
+        break;
+    }""")
+s2 = s2.replace("""        assert (tail==l || l==LOOP_NBS); // for tail = LOOP_EDGES, l = LOOP_NBS
+        shl__loops.pop_back();""",
+"""        shl__loops.pop_back(); // tolerate mismatched nesting (cost model only)""")
+open(rb + '/src/backend_cpp/shl_extensions.cc', 'w').write(s2)
+
+# per-region ft declaration: sk_fr_thread_init never reset, so later
+# parallel regions referenced an undeclared ft (conduct)
+s2 = open(rb + '/src/backend_cpp/gm_cpp_gen.cc').read()
+s2 = s2.replace("""    assert(!sk_parallel || need_br);
+    if (sk_parallel) sk_init_accessors(&Body);""",
+"""    assert(!sk_parallel || need_br);
+    if (sk_parallel) { sk_init_accessors(&Body); sk_fr_thread_init = false; }""")
+s2 = s2.replace("""        res = true;
+        Body.pushln("{");
+        sk_init_accessors(&Body);""",
+"""        res = true;
+        Body.pushln("{");
+        sk_init_accessors(&Body);
+        sk_fr_thread_init = false;""")
+# brace the multi-statement return (shl__end(); return ...;) so it stays
+# one statement under unbraced if/else (conduct)
+s2 = s2.replace("""    if (FE.get_current_proc()->find_info_bool(CPPBE_INFO_HAS_PROPDECL)) {
+        Body.push(CLEANUP_PTR);
+        Body.pushln("();");
+    }
+
+    Body.pushln("shl__end();\\n");
+
+    Body.push("return");
+    if (r->get_expr() != NULL) {
+        Body.SPC();
+        generate_expr(r->get_expr());
+    }
+    Body.pushln("; ");
+}""", """    Body.pushln("{");
+    if (FE.get_current_proc()->find_info_bool(CPPBE_INFO_HAS_PROPDECL)) {
+        Body.push(CLEANUP_PTR);
+        Body.pushln("();");
+    }
+
+    Body.pushln("shl__end();\\n");
+
+    Body.push("return");
+    if (r->get_expr() != NULL) {
+        Body.SPC();
+        generate_expr(r->get_expr());
+    }
+    Body.pushln("; ");
+    Body.pushln("}");
+}""")
+open(rb + '/src/backend_cpp/gm_cpp_gen.cc', 'w').write(s2)
+
 print('patches applied')
 EOF
 
