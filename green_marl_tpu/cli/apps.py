@@ -107,13 +107,14 @@ def make_sssp() -> UserMain:
         from ..models.sssp import sssp
         g = ctx.graph
         w = np.zeros(g.e_pad, np.int32)
-        if "len" in ctx.edge_props:
-            w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
-        else:
+        if "len" not in ctx.edge_props:
             # reference main generates lengths with its xorshift RNG
-            # over CSR slots (sssp_main.cc:31-33) — replicate bit-exact
+            # over CSR slots (sssp_main.cc:31-33) — replicate bit-exact;
+            # cached on ctx so -GMMeasureTime's warmup pays for it (the
+            # reference generates in prepare(), outside the timed region)
             from ..utils.gm_rand import sssp_edge_lengths
-            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+            ctx.edge_props["len"] = sssp_edge_lengths(g.num_edges)
+        w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
         k = _num_chips(ctx)
         if k > 1:
             from ..parallel import vertex_sharded as V
@@ -189,9 +190,11 @@ def make_conduct_main() -> UserMain:
         from ..models.conductance import conductance
         from ..utils.gm_rand import conduct_membership
         g = ctx.graph
-        member = np.zeros(g.n_pad, np.int32)
-        member[: g.num_nodes] = conduct_membership(g.num_nodes)
-        mj = jnp.asarray(member)
+        if "__member" not in ctx.node_props:
+            m = np.zeros(g.n_pad, np.int32)
+            m[: g.num_nodes] = conduct_membership(g.num_nodes)
+            ctx.node_props["__member"] = m
+        mj = jnp.asarray(ctx.node_props["__member"])
         c = sum(float(conductance(g, mj, i)) for i in range(4))
         print(f"sum C = {c:f}")
         return {"return": c}
@@ -251,11 +254,10 @@ def make_sssp_path() -> UserMain:
         from ..models.sssp_path import get_path, sssp_path
         g = ctx.graph
         w = np.zeros(g.e_pad, np.int32)
-        if "len" in ctx.edge_props:
-            w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
-        else:
+        if "len" not in ctx.edge_props:
             from ..utils.gm_rand import sssp_edge_lengths
-            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+            ctx.edge_props["len"] = sssp_edge_lengths(g.num_edges)
+        w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
         b = int(ctx.scalars["begin"])
         e = int(ctx.scalars["end"])
         res = sssp_path(g, b, jnp.asarray(w))
@@ -395,11 +397,10 @@ def make_sssp_dijkstra() -> UserMain:
         from ..models.delta_stepping import delta_stepping
         g = ctx.graph
         w = np.zeros(g.e_pad, np.int32)
-        if "len" in ctx.edge_props:
-            w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
-        else:
+        if "len" not in ctx.edge_props:
             from ..utils.gm_rand import sssp_edge_lengths
-            w[: g.num_edges] = sssp_edge_lengths(g.num_edges)
+            ctx.edge_props["len"] = sssp_edge_lengths(g.num_edges)
+        w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
         res = delta_stepping(g, int(ctx.scalars["src"]),
                              jnp.asarray(w))
         d = np.asarray(res.dist)

@@ -185,10 +185,20 @@ class UserMain:
         print(f"reverse edge creation time={0.0:f}")
 
         assert self.run_fn is not None, "set_run() not called"
+        measure = self.O.get_option("GMMeasureTime")
+        if measure:
+            # the reference's `running time=` excludes everything but the
+            # algorithm (common_main.h:160-205); here jit compilation
+            # would otherwise dominate — warm up once, time the second
+            # call (stdout of the warmup suppressed)
+            import contextlib
+            import io
+            with contextlib.redirect_stdout(io.StringIO()):
+                self.run_fn(ctx)
         t2 = time.time()
         outputs = self.run_fn(ctx)
         t3 = time.time()
-        if self.O.get_option("GMMeasureTime"):
+        if measure:
             print(f"running time={1000*(t3-t2):f}")
 
         self.report(ctx, outputs)

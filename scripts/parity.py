@@ -119,11 +119,54 @@ def main():
     r_time = grab(r"running time=([0-9.]+)", ref)
     print(f"  reference running time: {r_time[0]} ms")
 
+    # ---- sssp (xorshift weights replicated bit-exact) -------------------
+    ref = run_ref("sssp")
+    ours = run_ours("sssp", args.tpu)
+    r_d = grab(r"^dist\[\d\] = (-?\d+)", ref)[:10]
+    o_d = grab(r"^dist\[\d\] = (-?\d+)", ours)[:10]
+    check("sssp dist[0..9] (replicated gm_rand32 weights)",
+          r_d == o_d and len(o_d) == 10, f"{r_d} vs {o_d}")
+    r_time = grab(r"running time=([0-9.]+)", ref)
+    print(f"  reference running time: {r_time[0]} ms")
+
+    # ---- avg_teen_cnt ---------------------------------------------------
+    ref = run_ref("avg_teen_cnt")
+    ours = run_ours("avg_teen_cnt", args.tpu)
+    r_a = grab(r"^avg = ([0-9.]+)", ref)
+    o_a = grab(r"^avg = ([0-9.]+)", ours)
+    check("avg_teen_cnt avg exact print", r_a == o_a,
+          f"{r_a} vs {o_a}")
+    r_time = grab(r"running time=([0-9.]+)", ref)
+    print(f"  reference running time: {r_time[0]} ms")
+
+    # ---- conduct (xorshift membership replicated) -----------------------
+    ref = run_ref("conduct")
+    ours = run_ours("conduct_main", args.tpu)
+    r_c = grab(r"^sum C = ([0-9.]+)", ref)
+    o_c = grab(r"^sum C = ([0-9.]+)", ours)
+    ok = (bool(r_c) and bool(o_c)
+          and abs(float(r_c[0]) - float(o_c[0])) < 5e-6)
+    check("conduct sum C (4 xorshift cuts, tol 5e-6)", ok,
+          f"{r_c} vs {o_c}")
+    r_time = grab(r"running time=([0-9.]+)", ref)
+    print(f"  reference running time: {r_time[0]} ms")
+
+    # ---- sampling family (outputs are random; protocol + rc parity) ----
+    for app in ("random_node_sampling", "random_degree_node_sampling"):
+        ref = run_ref(app)
+        ours = run_ours(app, args.tpu)
+        ok = ("GM DONE" in ref
+              and bool(grab(r"running time=", ref))
+              and bool(grab(r"graph loading time=", ours)))
+        check(f"{app} protocol/rc", ok)
+        r_time = grab(r"running time=([0-9.]+)", ref)
+        print(f"  reference running time: {r_time[0]} ms")
+
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
-    print("ALL PARITY CHECKS PASSED")
+    print("ALL PARITY CHECKS PASSED (8 apps)")
     return 0
 
 
