@@ -2224,15 +2224,11 @@ class Lowerer:
             env[_DONE] = jnp.asarray(True)
 
     def _exec_bfs(self, s: A.BFS, env, ctx):
-        if self.axis is not None:
-            # The reference lowers BFS to level-sync while loops before
-            # superstep formation for its distributed backend
-            # (gm_gps_opt_transform_bfs.cc); ours requires the same
-            # rewrite, which is not wired into the sharded path yet.
-            raise LowerError("InBFS/InDFS not supported in distributed "
-                             "lowering yet; rewrite as a level-sync "
-                             "While loop (the reference GPS backend "
-                             "applies the same transform)")
+        if self.axis is not None and not s.is_bfs:
+            # host DFS needs concrete neighbor walks — not expressible
+            # under shard_map tracing
+            raise LowerError("InDFS not supported in distributed "
+                             "lowering (inherently sequential)")
         from .lower_bfs import exec_bfs
         exec_bfs(self, s, env, ctx)
 

@@ -60,6 +60,11 @@ def _levels(lw, root, transpose: bool, allowed=None):
             from ..ops.segment import segment_max
             reach = segment_max(vals, g.node_idx, g.n_pad,
                                 sorted_ids=False) > 0
+        if lw.axis is not None:
+            # sharded edge slabs: combine per-shard partial reach over
+            # the mesh axis (the per-superstep message combine,
+            # gm_gps_opt_transform_bfs.cc's level-sync form)
+            reach = lw._pcomb(reach.astype(jnp.int8), "max") > 0
         newly = reach & (level == INF) & mask
         level2 = jnp.where(newly, d + 1, level)
         return level2, jnp.any(newly), d + 1
@@ -87,6 +92,14 @@ def exec_bfs(lw, s: A.BFS, env, ctx):
             jnp.asarray(lw.eval(s.navigator, env, nav_ctx)),
             (g.n_pad,)).astype(jnp.bool_)
     level, depth = _levels(lw, root, s.transpose, allowed)
+    if lw.axis is not None or isinstance(depth, jax.core.Tracer):
+        # under shard_map/jit everything is traced — no host level
+        # count.  Replay levels inside traced fori loops (the reference
+        # rewrites BFS into level-sync while loops before superstep
+        # formation, gm_gps_opt_transform_bfs.cc).
+        env["__bfs_level$" + s.var] = level
+        _replay_traced(lw, s, env, level, depth)
+        return
     depth = int(jax.device_get(depth))        # host sync: level count
     env["__bfs_level$" + s.var] = level
 
@@ -119,6 +132,72 @@ def exec_bfs(lw, s: A.BFS, env, ctx):
             lw._bfs_ctx = None
 
     _run_reverse(lw, s, env, level, depth, level_ctx)
+
+
+def _replay_traced(lw, s, env, level, depth):
+    """Forward + reverse level replay as traced ``fori_loop``s with
+    body-written env entries as carries — the shard_map-compatible twin
+    of the host per-level loops below (GPS transform_bfs analog)."""
+    from .lower import (LowerError, NodeCtx, _DONE, _RET, _RNG,
+                        declared_keys, uses_rng, written_keys)
+    g = lw.g
+    ids = jnp.arange(g.n_pad, dtype=jnp.int32)
+    base_mask = g.node_mask()
+
+    def run_phase(body, filt, reverse):
+        if body is None:
+            return
+        wkeys = written_keys(body)
+        if uses_rng(body):
+            wkeys.add(_RNG)
+            env.setdefault(_RNG, jnp.zeros((), jnp.uint32))
+        carry_keys = sorted((wkeys - declared_keys(body))
+                            - {_RET, _DONE})
+        for k in carry_keys:
+            if k not in env:
+                raise LowerError(f"BFS body writes undeclared {k}")
+        init = tuple(env[k] for k in carry_keys)
+        dtypes = [jnp.asarray(v).dtype if isinstance(v, jax.Array)
+                  else None for v in init]
+
+        def body_fn(i, carry):
+            d = (depth - i) if reverse else i
+            e2 = dict(env)
+            for k, v in zip(carry_keys, carry):
+                e2[k] = v
+            m = base_mask & (level == d)
+            nctx = NodeCtx(g=g, var=s.var, ids=ids, mask=m)
+            if s.navigator is not None and not reverse:
+                nctx = nctx.with_mask(nctx.mask & jnp.broadcast_to(
+                    jnp.asarray(lw.eval(s.navigator, e2, nctx)),
+                    m.shape))
+            if filt is not None:
+                nctx = nctx.with_mask(nctx.mask & jnp.broadcast_to(
+                    jnp.asarray(lw.eval(filt, e2, nctx)), m.shape))
+            lw._bfs_ctx = (s.var, level, d)
+            try:
+                lw._defer_stack.append((s.var, []))
+                try:
+                    lw.exec_stmt(body, e2, nctx)
+                finally:
+                    _, pend = lw._defer_stack.pop()
+                for key, mask, val in pend:
+                    lw._wr(e2, key, jnp.where(mask, val, e2[key]))
+            finally:
+                lw._bfs_ctx = None
+            out = []
+            for k, dt in zip(carry_keys, dtypes):
+                v = e2[k]
+                out.append(jnp.asarray(v).astype(dt)
+                           if dt is not None else v)
+            return tuple(out)
+
+        final = jax.lax.fori_loop(0, depth + 1, body_fn, init)
+        for k, v in zip(carry_keys, final):
+            env[k] = v
+
+    run_phase(s.body_fw, s.filter_fw, False)
+    run_phase(s.body_bw, s.filter_bw, True)
 
 
 def _run_reverse(lw, s, env, level, depth, level_ctx):
