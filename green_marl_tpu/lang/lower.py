@@ -1031,7 +1031,30 @@ class Lowerer:
             ectx = self._edge_ctx(it, env, ctx)
             per_node, scalar = self._reduce_over_edges(e, env, ectx, ctx)
             return per_node if scalar is None else scalar
+        if it.iter_type == "COMMON_NBRS":
+            ectx = self._common_nbr_ctx(it, env, ctx)
+            per_node, scalar = self._reduce_over_edges(e, env, ectx, ctx)
+            return per_node if scalar is None else scalar
         raise LowerError(f"reduce over {it.iter_type} not lowerable yet")
+
+    def _common_nbr_ctx(self, it: A.Iterator, env, ctx):
+        """``x.CommonNbrs(y)``: iterate x's out-neighbors masked by
+        membership in y's row — the sorted-intersection iterator
+        (``gm_cpp_opt_common_nbr.cc`` + ``gm_common_neighbor_iter``)
+        expressed as a neighbor context plus a binary-search membership
+        test over the semi-sorted CSR rows."""
+        self._no_random_read("CommonNbrs")
+        it2 = dataclasses.replace(it, iter_type="NBRS")
+        ectx = self._edge_ctx(it2, env, ctx)
+        other = self._ident(it.common_with, env,
+                            getattr(ectx, "parent", ctx) or ctx)
+        ov = jnp.asarray(other)
+        if ov.ndim >= 1 and hasattr(ectx, "sel") and \
+                ov.shape[0] == ectx.parent_len:
+            ov = ov[ectx.sel]               # wedge space alignment
+        ov = jnp.broadcast_to(ov, ectx.mask.shape)
+        member = ops.has_edge_to(self.g, ov, ectx.inner_ids)
+        return ectx.with_mask(ectx.mask & member)
 
     def _reduce_over_nodes(self, e: A.ReduceExpr, env, nctx: NodeCtx):
         mask = nctx.mask
@@ -1909,6 +1932,13 @@ class Lowerer:
                 env.clear()
                 env.update(snap)
                 return self._exec_for_nbrs_eager(s, env)
+        if it.iter_type == "COMMON_NBRS":
+            ectx = self._common_nbr_ctx(it, env, ctx)
+            if s.filter is not None:
+                ectx = ectx.with_mask(ectx.mask &
+                                      self.eval(s.filter, env, ectx))
+            self.exec_stmt(s.body, env, ectx)
+            return
         if it.iter_type == "ITEMS":
             return self._exec_for_items(s, env, ctx)
         raise LowerError(f"foreach over {it.iter_type} not lowerable yet")

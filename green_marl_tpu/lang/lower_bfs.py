@@ -54,7 +54,12 @@ def _levels(lw, root, transpose: bool, allowed=None):
         level, _, d = state
         fr = (level == d) & mask
         if transpose:
-            reach = ops.in_nbr_any(g, fr)
+            # BFS over G^: v joins when some OUT-neighbor w (i.e. the
+            # transposed edge w->v reversed) is in the frontier —
+            # Exist(w: v.OutNbrs){fr[w]}.  (Was in_nbr_any — forward
+            # expansion — which silently merged kosaraju's SCCs.)
+            from ..ops import scan_reduce
+            reach = scan_reduce.out_nbr_count_true(g, fr) > 0
         else:
             vals = fr[g.node_idx_src].astype(jnp.int8)
             from ..ops.segment import segment_max
