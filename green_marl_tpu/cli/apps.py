@@ -63,6 +63,15 @@ def make_pagerank() -> UserMain:
                 d=float(ctx.scalars["d"]),
                 max_iter=int(ctx.scalars["max_iter"]))
             return {"rank": np.asarray(rank)}
+        if ctx.options and ctx.options.get_option("GMProfile"):
+            from ..utils.timing import graph_placement_report
+            print(graph_placement_report(ctx.graph), file=sys.stderr)
+            from ..models.pagerank import pagerank_profiled
+            res = pagerank_profiled(
+                ctx.graph, e=float(ctx.scalars["e"]),
+                d=float(ctx.scalars["d"]),
+                max_iter=int(ctx.scalars["max_iter"]))
+            return {"rank": np.asarray(res.rank)}
         from ..models.pagerank import pagerank
         res = pagerank(ctx.graph, e=float(ctx.scalars["e"]),
                        d=float(ctx.scalars["d"]),

@@ -88,6 +88,9 @@ class UserMain:
         self.post_fn: Optional[Callable] = None
         self.O = UserOpt(proc_name, desc)
         self.O.add_option("GMMeasureTime", bool, "0", "Measure running time")
+        self.O.add_option("GMProfile", bool, "0",
+                          "Per-superstep device timing + per-array "
+                          "placement report (Shoal step timers analog)")
         self.O.add_option("GMInputFormat", str, "BIN",
                           "ADJ|EDGE|BIN|EBIN")
         self.O.add_option("GMOutputFormat", str, "NULL",

@@ -787,9 +787,129 @@ def remove_unused(proc: A.Procedure) -> A.Procedure:
 # ---------------------------------------------------------------------------
 # driver
 
+def _stmt_rw(s: A.Stmt):
+    """Conservative (reads, writes) over scalar symbols and property
+    names (props prefixed '$') for hoisting legality."""
+    reads: Set[str] = set()
+    for st in _walk_stmts(s):
+        for e in _walk_exprs_of(st):
+            reads |= _idents_read(e)
+    reads |= {"$" + p for p in _props_read(s)}
+    writes: Set[str] = set()
+    for name, _ in _lhs_infos(s):
+        writes.add(name)
+    for st in _walk_stmts(s):
+        if isinstance(st, (A.Assign, A.ReduceAssign, A.DeferAssign)):
+            if isinstance(st.lhs, A.Field):
+                writes.add("$" + st.lhs.prop)
+        if isinstance(st, A.ArgMinMaxAssign):
+            for lhs in [st.lhs] + list(st.lhs_extra):
+                if isinstance(lhs, A.Field):
+                    writes.add("$" + lhs.prop)
+        if isinstance(st, A.VarDecl):
+            for nm in st.names:
+                writes.add(nm)
+                if st.type.is_property():
+                    writes.add("$" + nm)
+        if isinstance(st, A.CallStmt) and st.call.driver is not None:
+            writes.add(st.call.driver)
+    return reads, writes
+
+
+def _hoist_conflict(a: A.Stmt, b: A.Stmt) -> bool:
+    ra, wa = _stmt_rw(a)
+    rb, wb = _stmt_rw(b)
+    return bool((wa & (rb | wb)) | (ra & wb))
+
+
+def _hoistable_past(s: A.Stmt) -> bool:
+    # never move across control constructs whose execution count is
+    # data-dependent or which sequence side effects
+    return not isinstance(s, (A.While, A.BFS, A.Return, A.ForeignStmt))
+
+
+def hoist_foreach(proc: A.Procedure) -> A.Procedure:
+    """Bubble parallel Foreach statements upward past independent
+    statements so same-domain loops become adjacent for ``loop_merge``
+    (``gm_hoist_foreach.cc``)."""
+    def visit_block(b: A.Block):
+        for s in b.stmts:
+            visit_stmt(s)
+        i = 1
+        while i < len(b.stmts):
+            s = b.stmts[i]
+            if isinstance(s, A.Foreach) and not s.sequential:
+                j = i
+                while j > 0:
+                    prev = b.stmts[j - 1]
+                    if isinstance(prev, A.Foreach) or \
+                            not _hoistable_past(prev) or \
+                            _hoist_conflict(prev, s):
+                        break
+                    b.stmts[j - 1], b.stmts[j] = s, prev
+                    j -= 1
+            i += 1
+
+    def visit_stmt(s: A.Stmt):
+        if isinstance(s, A.Block):
+            visit_block(s)
+        elif isinstance(s, A.Foreach):
+            visit_stmt(s.body)
+        elif isinstance(s, A.If):
+            visit_stmt(s.then)
+            if s.els is not None:
+                visit_stmt(s.els)
+        elif isinstance(s, A.While):
+            visit_stmt(s.body)
+
+    visit_stmt(proc.body)
+    return proc
+
+
+def hoist_assign(proc: A.Procedure) -> A.Procedure:
+    """Bubble scalar assignments/declarations upward past independent
+    Foreach loops (``gm_hoist_assign.cc``) — clears the space between
+    mergeable loops."""
+    def visit_block(b: A.Block):
+        for s in b.stmts:
+            visit_stmt(s)
+        i = 1
+        while i < len(b.stmts):
+            s = b.stmts[i]
+            if isinstance(s, (A.Assign, A.VarDecl)) and not (
+                    isinstance(s, A.Assign)
+                    and not isinstance(s.lhs, A.Ident)):
+                j = i
+                while j > 0:
+                    prev = b.stmts[j - 1]
+                    if not isinstance(prev, A.Foreach) or \
+                            _hoist_conflict(prev, s):
+                        break
+                    b.stmts[j - 1], b.stmts[j] = s, prev
+                    j -= 1
+            i += 1
+
+    def visit_stmt(s: A.Stmt):
+        if isinstance(s, A.Block):
+            visit_block(s)
+        elif isinstance(s, A.Foreach):
+            visit_stmt(s.body)
+        elif isinstance(s, A.If):
+            visit_stmt(s.then)
+            if s.els is not None:
+                visit_stmt(s.els)
+        elif isinstance(s, A.While):
+            visit_stmt(s.body)
+
+    visit_stmt(proc.body)
+    return proc
+
+
 DEFAULT_PASSES: List[Tuple[str, Callable[[A.Procedure], A.Procedure]]] = [
     ("sugar2", sugar2),
     ("move_propdecl", move_propdecl),
+    ("hoist_assign", hoist_assign),
+    ("hoist_foreach", hoist_foreach),
     ("loop_merge", loop_merge),
     ("nonconf_reduce", nonconf_reduce),
     ("prop_trivial", prop_trivial),

@@ -106,3 +106,40 @@ def pagerank_np(begin, node_idx, e=0.001, d=0.85, max_iter=100):
         cnt += 1
         if not (diff > e and cnt < max_iter):
             return rank, diff, cnt
+
+
+def pagerank_profiled(g: Graph, e=0.001, d=0.85, max_iter: int = 100,
+                      dtype=jnp.float32) -> PageRankResult:
+    """Host-driven variant with per-superstep device timing lines
+    (``superstep[i] time=...``); see utils.timing.profile_supersteps.
+    Same arithmetic as :func:`pagerank` (one jitted step per line)."""
+    from ..utils.timing import profile_supersteps
+    n = g.num_nodes
+    mask = g.node_mask()
+    inv_n = jnp.asarray(1.0 / n, dtype)
+    e = jnp.asarray(e, dtype)
+    d = jnp.asarray(d, dtype)
+    out_deg = g.out_degree().astype(dtype)
+    inv_deg = jnp.where(out_deg > 0, 1.0 / jnp.maximum(out_deg, 1), 0.0)
+    rank0 = jnp.where(mask, inv_n, jnp.zeros((), dtype))
+
+    @jax.jit
+    def step(state):
+        rank, _, it = state
+        contrib = rank * inv_deg
+        s = ops.in_nbr_sum(g, contrib)
+        val = (1 - d) * inv_n + d * s
+        val = jnp.where(mask, val, jnp.zeros((), dtype))
+        diff = jnp.sum(jnp.abs(val - rank))
+        return (val, diff, it + 1)
+
+    def cond(state):
+        rank, diff, it = state
+        return jnp.logical_and(it < max_iter,
+                               jnp.logical_or(it == 0, diff > e))
+
+    state0 = (rank0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+    from ..utils.timing import sync
+    sync(step(state0))     # compile outside the per-step timings
+    rank, diff, it = profile_supersteps(step, state0, cond, max_iter)
+    return PageRankResult(rank=rank, diff=diff, iterations=it)
