@@ -92,9 +92,9 @@ class UserMain:
                           "Per-superstep device timing + per-array "
                           "placement report (Shoal step timers analog)")
         self.O.add_option("GMInputFormat", str, "BIN",
-                          "ADJ|EDGE|BIN|EBIN")
+                          "ADJ|EDGE|BIN|EBIN|AVRO")
         self.O.add_option("GMOutputFormat", str, "NULL",
-                          "BIN|EBIN|EDGE|NODE_PROP|NULL")
+                          "BIN|EBIN|EDGE|NODE_PROP|AVRO|NULL")
         self.O.add_option("GMNumChips", int, None,
                           "Number of TPU chips (mesh size)")
         self.O.add_option("GMNumThreads", int, None,
@@ -156,6 +156,13 @@ class UserMain:
         elif fmt == "ADJ":
             src, dst = el.load_adjacency_list(path)
             g, perm = from_edges(src, dst)
+        elif fmt == "AVRO":
+            # Avro object container (gm_graph_avro_loader.cc analog)
+            from ..graph import avro_io
+            src, dst, nprop_arrays, eav, _, _ = avro_io.load_avro(path)
+            g, perm = from_edges(src.astype(np.int32),
+                                 dst.astype(np.int32))
+            eprop_arrays = [np.asarray(p)[perm] for p in eav]
         else:
             raise SystemExit(f"unknown input format {fmt}")
         ctx = RunContext(graph=g,
@@ -271,6 +278,11 @@ class UserMain:
                 for i in range(g.num_nodes):
                     row = " ".join(str(p[i]) for p in out_nprops)
                     f.write(f"{i} {row}\n")
+        elif fmt == "AVRO":
+            from ..graph import avro_io
+            avro_io.store_avro(out, begin, node_idx,
+                               node_props=out_nprops,
+                               edge_props=out_eprops)
         else:
             raise SystemExit(f"unknown output format {fmt}")
 

@@ -202,3 +202,33 @@ def test_to_undirected():
     s, d = to_undirected(src, dst)
     pairs = set(zip(s.tolist(), d.tolist()))
     assert pairs == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+def test_avro_roundtrip(tmp_path):
+    """Avro object-container graph IO (gm_graph_avro_loader analog):
+    store + load preserve CSR structure and typed properties."""
+    import numpy as np
+
+    from green_marl_tpu.graph import avro_io
+    from green_marl_tpu.graph import generate as gen
+    from green_marl_tpu.graph.csr import from_edges
+    src, dst = gen.rmat_edges(300, 2000, seed=5)
+    g, _ = from_edges(src, dst, 300)
+    begin = np.asarray(g.begin)
+    ni = np.asarray(g.node_idx)[: g.num_edges]
+    rng = np.random.default_rng(0)
+    age = rng.integers(0, 100, 300).astype(np.int32)
+    wt = rng.random(g.num_edges).astype(np.float64)
+    flag = rng.random(300) < 0.5
+    p = str(tmp_path / "g.avro")
+    avro_io.store_avro(p, begin, ni, node_props=[age, flag],
+                       edge_props=[wt])
+    s2, d2, nps, eps, nt, et = avro_io.load_avro(p)
+    assert nt == ["int", "boolean"] and et == ["double"]
+    g2, perm2 = from_edges(s2.astype(np.int32), d2.astype(np.int32), 300)
+    np.testing.assert_array_equal(np.asarray(g2.begin), begin)
+    np.testing.assert_array_equal(
+        np.asarray(g2.node_idx)[: g.num_edges], ni)
+    np.testing.assert_array_equal(nps[0], age)
+    np.testing.assert_array_equal(nps[1], flag)
+    np.testing.assert_allclose(eps[0][perm2], wt)
