@@ -61,6 +61,18 @@ class RWSets:
     writes: List[Entry] = dfield(default_factory=list)
     reduces: List[Entry] = dfield(default_factory=list)
 
+    def pretty(self) -> str:
+        parts = []
+        if self.reads:
+            parts.append("R: " + " ".join(e.pretty() for e in self.reads))
+        if self.writes:
+            parts.append("W: " + " ".join(e.pretty()
+                                          for e in self.writes))
+        if self.reduces:
+            parts.append("D: " + " ".join(e.pretty()
+                                          for e in self.reduces))
+        return "  ".join(parts)
+
     def merge(self, other: "RWSets", always: bool = True):
         def demote(es):
             return [Entry(e.sym, e.driver, e.range,
@@ -79,6 +91,20 @@ class RWAnalysis:
         self.iters: Dict[str, A.Iterator] = {}
         self.sets: Dict[int, RWSets] = {}   # id(stmt) -> sets
         self.decl_frames: List[Set[str]] = [set()]
+
+    def pretty(self) -> str:
+        """-Dw report: per-statement R/W/D sets + conflict findings
+        (the reference prints its rw maps the same way)."""
+        lines = []
+        for sets in self.sets.values():
+            p = sets.pretty()
+            if p:
+                lines.append(p)
+        for w in self.warnings:
+            lines.append(f"warning: {w}")
+        for e in self.errors:
+            lines.append(f"error: {e}")
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------
     def range_of_driver(self, name: Optional[str]) -> Tuple[int,

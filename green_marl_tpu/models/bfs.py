@@ -56,16 +56,20 @@ class BfsResult(NamedTuple):
 def _push_expand(g: Graph, frontier, push_begin, push_nbr, e_cap: int):
     """Top-down expand with a static edge budget ``e_cap`` (ST_QUE).
 
-    Compacts the frontier bitmap to node ids, enumerates their CSR slots
-    into a fixed [e_cap] buffer (segmented expansion via searchsorted —
-    the traced twin of the lowerer's wedge construction), and scatter-ORs
-    the destinations.  Work is O(n_pad + e_cap) regardless of E, which is
-    the whole point of the direction switch: a 100-node frontier costs a
-    small buffer, not a 69M-edge sweep.
+    Measured-on-chip design (scripts/probe_bfs2.py):
+    * frontier compaction by ``lax.sort`` of masked ids (35 ms at LJ
+      n_pad vs 76 ms for ``nonzero`` — both beat any scatter);
+    * segmented slot expansion scatter-free via run-start marks +
+      ``cummax`` (searchsorted over [n_pad] costs ~23 gathers per
+      output slot — 200 ms at a 1M budget);
+    * destination OR via one scatter (35 ms, budget-independent).
+    Work is O(n_pad + e_cap) regardless of E, which is the whole point
+    of the direction switch: a 100-node frontier costs a small buffer,
+    not a 69M-edge sweep.
     """
     n_pad = g.n_pad
-    ids = jnp.nonzero(frontier, size=n_pad, fill_value=n_pad)[0]
-    ids = ids.astype(jnp.int32)
+    ids_all = jnp.arange(n_pad, dtype=jnp.int32)
+    ids = jax.lax.sort(jnp.where(frontier, ids_all, jnp.int32(n_pad)))
     valid = ids < g.num_nodes
     idc = jnp.minimum(ids, g.num_nodes - 1)
     deg = jnp.where(valid,
@@ -73,11 +77,19 @@ def _push_expand(g: Graph, frontier, push_begin, push_nbr, e_cap: int):
                         jnp.int32), 0)
     cum = jnp.cumsum(deg)
     W = cum[-1]                       # total frontier out-edges
+    start = cum - deg                 # run start per frontier position
+    # run-owner per output slot: scatter each position's index at its
+    # run start (clipped into the budget), then propagate with cummax
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    mark_at = jnp.where(valid & (deg > 0) & (start < e_cap),
+                        start, jnp.int32(e_cap))
+    marks = jnp.zeros((e_cap,), jnp.int32).at[mark_at].max(
+        pos + 1, mode="drop")
+    owner = jax.lax.associative_scan(jnp.maximum, marks) - 1
+    owner = jnp.maximum(owner, 0)
     i = jnp.arange(e_cap, dtype=jnp.int32)
-    sel = jnp.searchsorted(cum, i, side="right").astype(jnp.int32)
-    sel = jnp.minimum(sel, n_pad - 1)
-    base = push_begin[idc[sel]].astype(jnp.int32)
-    off = i - (cum[sel] - deg[sel])
+    base = push_begin[idc[owner]].astype(jnp.int32)
+    off = i - start[owner]
     slot = jnp.clip(base + off, 0, push_nbr.shape[0] - 1)
     live = i < jnp.minimum(W, e_cap)
     dst = push_nbr[slot].astype(jnp.int32)
@@ -121,7 +133,7 @@ def bfs(g: Graph, root, max_iter: int | None = None,
     # is the same quantity the cost actually follows).
     e_pad = int(push_nbr.shape[0])
     tiers = []
-    for cap in (4096, 65536, 1 << 20):
+    for cap in (4096, 65536, 1 << 20, 1 << 23):
         if cap < e_pad // 2:
             tiers.append(cap)
 
