@@ -133,7 +133,7 @@ def bfs(g: Graph, root, max_iter: int | None = None,
     # is the same quantity the cost actually follows).
     e_pad = int(push_nbr.shape[0])
     tiers = []
-    for cap in (4096, 65536, 1 << 20, 1 << 23):
+    for cap in (4096, 65536, 1 << 20, 1 << 22):
         if cap < e_pad // 2:
             tiers.append(cap)
 
