@@ -4,8 +4,8 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
      "extra": {...}}
 
-Headline metric: aggregate traversed-edges/s of a bit-packed B=1024
-multi-source BFS on a LiveJournal-scale RMAT graph (N=4.8M, E=69M) — the
+Headline metric: aggregate traversed-edges/s of a bit-packed B=4096
+(uint32 planes, 32 instances/lane) multi-source BFS on a LiveJournal-scale RMAT graph (N=4.8M, E=69M) — the
 batched capability BASELINE.json names as the north star (5 GTEPS/chip
 target).  ``extra`` carries the single-source direction-optimized BFS
 GTEPS, single-instance PageRank throughput, and batched PageRank —
@@ -43,7 +43,8 @@ PREP = os.path.join(DDIR, "rmat_lj_prep.npz")
 N = 4_800_000
 M = 69_000_000
 SEED = 42
-B = 1024
+B = 4096
+PLANE_BITS = 32
 PR_B = 128
 PR_ITERS = 20
 SS_ITERS = 10         # single-instance PageRank iterations
@@ -195,7 +196,8 @@ def main():
     roots_np = order[:n_b].astype(np.int32).copy()
 
     def run_bfs(rr):
-        res = batched.multi_source_bfs_bits(bp, jnp.asarray(rr), deg_rows)
+        res = batched.multi_source_bfs_bits(bp, jnp.asarray(rr), deg_rows,
+                                            plane_bits=PLANE_BITS)
         trav = np.asarray(jax.device_get(res.traversed)).astype(np.int64)
         return int(res.levels_run), trav
 

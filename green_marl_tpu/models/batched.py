@@ -260,7 +260,8 @@ def multi_pagerank_binned(bp, out_deg_binned: jax.Array,
 
 
 class BitBfsResult(NamedTuple):
-    visited: jax.Array     # [n_rows, LANES] uint8 bit planes (binned order)
+    visited: jax.Array     # [n_rows, LANES] uint8/16/32 bit planes
+    #                        (binned order)
     levels_run: jax.Array
     reached: jax.Array     # [B] per-instance reached-node counts
     traversed: jax.Array   # [B] per-instance Graph500 traversed edges
@@ -288,52 +289,59 @@ def _bit_popstats(newly, deg_rows, lanes, bits=8):
     return cnt, trav
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "plane_bits"))
 def multi_source_bfs_bits(bp, roots: jax.Array, deg_rows: jax.Array,
-                          max_iter: Optional[int] = None) -> BitBfsResult:
-    """Bit-packed multi-source BFS: 8 instances per uint8 lane — with the
-    engine's 128-lane tables, 1024 BFS instances per row gather.
+                          max_iter: Optional[int] = None,
+                          plane_bits: int = 8) -> BitBfsResult:
+    """Bit-packed multi-source BFS: ``plane_bits`` instances per lane —
+    with the engine's 128-lane tables, up to 128*32 = 4096 BFS
+    instances per row gather (uint32 planes).
 
     The row-gather engine is issue-rate-bound (~9.5 ns/row on v5e
     regardless of payload), so packing instances into bits multiplies
     aggregate traversal throughput by the pack factor.  Plays the role of
     running the reference binary B times (it has no batched mode;
-    SURVEY.md §2.10) at ~1/1000 the cost.
+    SURVEY.md §2.10) at a tiny fraction of the cost.
 
-    ``roots``: [B<=lanes*8] original node ids; instance b lives at lane
-    b//8, bit b%8.  ``deg_rows``: [n_rows] int32 out-degrees (binned,
-    padded) for Graph500 accounting.  Level arrays are not materialized —
-    callers needing distances use ``multi_source_bfs_binned`` or run one
-    ``level_of`` pass per level plane.
+    ``roots``: [B <= 128*plane_bits] original node ids; instance b lives
+    at lane b//plane_bits, bit b%plane_bits.  ``deg_rows``: [n_rows]
+    int32 out-degrees (binned, padded) for Graph500 accounting.
+    Per-instance reached/traversed are computed ONCE from the final
+    visited planes (they depend only on the reached set), so the
+    superstep loop does no per-bit work.  Level arrays are not
+    materialized — callers needing distances use
+    ``multi_source_bfs_binned``.
     """
     if max_iter is None:
         max_iter = bp.n_nodes + 1
+    dt = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32}[plane_bits]
     B = roots.shape[0]
-    lanes = (B + 7) // 8
+    lanes = (B + plane_bits - 1) // plane_bits
     root_rows = bp.inv_perm[roots]
     node_rows = bp.node_rows_mask()
 
-    bits0 = jnp.zeros((bp.n_rows, lanes), jnp.uint8)
+    bits0 = jnp.zeros((bp.n_rows, lanes), dt)
     b_ix = jnp.arange(B, dtype=jnp.int32)
-    bits0 = bits0.at[root_rows, b_ix // 8].max(
-        (jnp.ones((), jnp.uint8) << (b_ix % 8).astype(jnp.uint8)))
-    bits0 = jnp.where(node_rows, bits0, jnp.zeros((), jnp.uint8))
-
-    cnt0, trav0 = _bit_popstats(bits0, deg_rows, lanes)
+    # scatter-OR of the root bits: .add is exact because every instance
+    # owns a distinct bit (scatter-max would keep only the highest bit
+    # when two roots share a row and lane)
+    bits0 = bits0.at[root_rows, b_ix // plane_bits].add(
+        (jnp.ones((), dt) << (b_ix % plane_bits).astype(dt)))
+    bits0 = jnp.where(node_rows, bits0, jnp.zeros((), dt))
 
     def step(state):
-        visited, frontier, depth, cnt, trav = state
+        visited, frontier, depth = state
         hit = _binned.edge_map(bp, frontier, "bor")
         newly = hit & ~visited
-        newly = jnp.where(node_rows, newly, jnp.zeros((), jnp.uint8))
-        c, t = _bit_popstats(newly, deg_rows, lanes)
-        return (visited | newly, newly, depth + 1, cnt + c, trav + t)
+        newly = jnp.where(node_rows, newly, jnp.zeros((), dt))
+        return (visited | newly, newly, depth + 1)
 
     def not_done(state):
         return jnp.any(state[1] != 0)
 
-    state0 = (bits0, bits0, jnp.zeros((), jnp.int32), cnt0, trav0)
-    (visited, _, _, cnt, trav), stats = while_loop(
-        step, not_done, state0, max_iter)
+    state0 = (bits0, bits0, jnp.zeros((), jnp.int32))
+    (visited, _, _), stats = while_loop(step, not_done, state0, max_iter)
+    cnt, trav = _bit_popstats(visited, deg_rows, lanes,
+                              bits=plane_bits)
     return BitBfsResult(visited=visited, levels_run=stats.iterations,
                         reached=cnt[:B], traversed=trav[:B])

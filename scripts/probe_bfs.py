@@ -70,7 +70,7 @@ def main():
 
     # 2. push tiers: frontier of ~cap/16 nodes (to fill the budget)
     deg = np.diff(z["begin"])
-    for cap in (1 << 22,):
+    for cap in (4096, 65536, 1 << 20):
         nsel = max(1, cap // 32)
         ids = np.argsort(deg)[: nsel * 4: 4][:nsel]
         fr2 = np.zeros(g.n_pad, bool)

@@ -148,3 +148,22 @@ def test_multi_source_bfs_bits_matches_int_version(rng):
         bits = (vis[:, b // 8] >> (b % 8)) & 1
         np.testing.assert_array_equal(bits.astype(bool), reached_ref[:, b])
     assert int(got.levels_run) == int(ref.levels_run)
+
+
+def test_multi_source_bfs_bits32_matches(rng):
+    """uint32 planes: 32 instances/lane (the 4096-source headline
+    packing) — same results as the uint8 path."""
+    g, src, dst = random_graph(rng, n=300, m=2500, skew=True)
+    bp = binned.binned_in(g, w_max=16)
+    B = 70
+    roots = jnp.asarray(rng.integers(0, g.num_nodes, B).astype(np.int32))
+    deg = bp.to_binned(g.out_degree()[:g.num_nodes]).astype(jnp.int32)
+    deg_rows = jnp.concatenate(
+        [deg, jnp.zeros((bp.n_rows - bp.n_nodes,), jnp.int32)])
+    a = batched.multi_source_bfs_bits(bp, roots, deg_rows, plane_bits=8)
+    b = batched.multi_source_bfs_bits(bp, roots, deg_rows, plane_bits=32)
+    np.testing.assert_array_equal(np.asarray(a.reached),
+                                  np.asarray(b.reached))
+    np.testing.assert_array_equal(np.asarray(a.traversed),
+                                  np.asarray(b.traversed))
+    assert int(a.levels_run) == int(b.levels_run)
