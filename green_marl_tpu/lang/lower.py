@@ -2379,6 +2379,37 @@ class CompiledProc:
             out["_return"] = env[_RET]
         return out
 
+    def batch(self, g: Graph, over: Dict[str, "jax.Array"], **fixed):
+        """Batched-instance execution of the compiled procedure: advance
+        one instance per entry of ``over`` in lockstep under ``vmap``
+        (the north-star capability the reference lacks — it runs one
+        process per instance, SURVEY.md §2.10).
+
+        ``over`` maps scalar argument names to equal-length arrays; all
+        other arguments are shared.  Returns the usual output dict with
+        a leading batch axis.  Works for any traced-lowerable program
+        (host-eager constructs — DFS, map-driven While loops, collection
+        Items loops — cannot batch).
+
+        Example::
+
+            cp = compile_file(".../hop_dist.gm")
+            out = cp.batch(g, over={"root": jnp.arange(1024)})
+            out["dist"]          # [1024, N_pad]
+        """
+        names = sorted(over)
+        vals = [jnp.asarray(over[n]) for n in names]
+        if not vals or any(v.shape[0] != vals[0].shape[0]
+                           for v in vals):
+            raise ValueError("over= arrays must share a leading dim")
+
+        def one(*args):
+            kw = dict(fixed)
+            kw.update(dict(zip(names, args)))
+            return self(g, **kw)
+
+        return jax.vmap(one)(*vals)
+
     def jit(self):
         """Whole-procedure jit: one XLA program (graph is a pytree arg)."""
         import functools

@@ -130,12 +130,12 @@ def bfs(g: Graph, root, max_iter: int | None = None,
     # out-edge count wins; overflowing every tier -> pull (the reference
     # flips to ST_RD at next_count >= 0.05*N or >= 1024 && >= 5*curr,
     # gm_bfs_template.h:359-414 — here the budget is edge-based, which
-    # is the same quantity the cost actually follows).  Tiers above 1M
-    # were measured compile-prohibitive through the remote compiler
-    # (scripts/probe_bfs.py: 4M/8M never finished compiling).
+    # is the same quantity the cost actually follows).  The 2M tier
+    # runs at 286 ms vs a 716 ms pull sweep; tiers at 4M+ were measured
+    # compile-prohibitive through the remote compiler (probe_bfs).
     e_pad = int(push_nbr.shape[0])
     tiers = []
-    for cap in (4096, 65536, 1 << 20):
+    for cap in (4096, 65536, 1 << 20, 1 << 21):
         if cap < e_pad // 2:
             tiers.append(cap)
 

@@ -263,3 +263,28 @@ def test_common_nbrs_foreach_statement(graph):
         for s in row:
             exp[t] += sum(1 for r in row if r in nbrs[s])
     np.testing.assert_array_equal(got, exp)
+
+
+def test_batched_instances_of_compiled_programs(graph):
+    """CompiledProc.batch: lockstep multi-instance execution of any
+    traced-lowerable DSL program via vmap (the batched capability the
+    reference lacks — SURVEY.md §2.10)."""
+    import jax.numpy as jnp
+    g, _ = graph
+    n = g.num_nodes
+
+    cp = _quiet_compile(f"{REF}/hop_dist.gm")
+    roots = jnp.asarray([0, 3, 7, 11], jnp.int32)
+    out = cp.batch(g, over={"root": roots})
+    assert out["dist"].shape[0] == 4
+    for i, r in enumerate([0, 3, 7, 11]):
+        ref = np.asarray(cp(g, root=r)["dist"])
+        np.testing.assert_array_equal(np.asarray(out["dist"][i]), ref)
+
+    pr = _quiet_compile(f"{REF}/pagerank.gm")
+    ds = jnp.asarray([0.7, 0.85, 0.9])
+    outs = pr.batch(g, over={"d": ds}, e=1e-8, max=20)
+    for i, d in enumerate([0.7, 0.85, 0.9]):
+        ref = np.asarray(pr(g, e=1e-8, d=float(d), max=20)["pg_rank"])
+        np.testing.assert_allclose(np.asarray(outs["pg_rank"][i]), ref,
+                                   rtol=1e-6)
