@@ -132,6 +132,8 @@ class UserMain:
         if path is None:
             self.O.print_help()
             raise SystemExit(1)
+        from ..graph import fs
+        path = fs.fetch(path)   # hdfs:// and gs:// staged locally
         in_nprops = [s for s in self.schemas
                      if s.kind == GM_NODEPROP and s.is_input]
         in_eprops = [s for s in self.schemas

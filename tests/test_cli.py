@@ -113,3 +113,15 @@ def test_weak_cc_cli(tmp_path, capsys):
     rc, out = run_cli(apps.main, ["weak_cc", binp], capsys)
     assert rc == 0
     assert re.search(r"comp\[0\] = \d+", out)
+
+
+def test_remote_scheme_fails_fast_without_tooling():
+    """hdfs:// paths route through the fs resolver (gm_file_handling
+    analog) and fail with a clear error when the CLI is absent."""
+    import pytest as _pytest
+
+    from green_marl_tpu.graph import fs
+    assert fs.fetch("/tmp/local_path") == "/tmp/local_path"
+    if fs.shutil.which("hdfs") is None:
+        with _pytest.raises(RuntimeError, match="hdfs"):
+            fs.fetch("hdfs://nn/graph.bin")
