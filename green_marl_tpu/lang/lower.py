@@ -1943,9 +1943,19 @@ class Lowerer:
             return self._exec_for_items(s, env, ctx)
         raise LowerError(f"foreach over {it.iter_type} not lowerable yet")
 
+    # Eager host loops issue one device round-trip per element; they are
+    # the faithful lowering for the reference's sequential constructs
+    # (select_par), fine at test scale, unusable beyond it.
+    _EAGER_SCALE_LIMIT = 100_000
+
     def _exec_for_nbrs_eager(self, s: A.Foreach, env):
         it = s.iterator
         g = self.g
+        if g.num_nodes > self._EAGER_SCALE_LIMIT:
+            raise LowerError(
+                "sequential neighbor loop on a graph with "
+                f"{g.num_nodes} nodes (host round-trip per element; "
+                "rewrite the body in vectorizable form)")
         u = int(np.asarray(jax.device_get(env[it.source])))
         if it.iter_type == "IN_NBRS":
             begin, ni = np.asarray(g.r_begin), np.asarray(g.r_node_idx)
@@ -1962,6 +1972,11 @@ class Lowerer:
 
     def _exec_for_nodes_eager(self, s: A.Foreach, env):
         it = s.iterator
+        if self.g.num_nodes > self._EAGER_SCALE_LIMIT:
+            raise LowerError(
+                "sequential node loop on a graph with "
+                f"{self.g.num_nodes} nodes (host round-trip per "
+                "element; rewrite in vectorizable form)")
         for v in range(self.g.num_nodes):
             env[it.var] = jnp.asarray(v, jnp.int32)
             if s.filter is not None:

@@ -39,14 +39,6 @@ from ..graph.csr import Graph
 from ..ops import scan_reduce
 from ..ops import segment as ops
 
-# Reference direction-switch thresholds (gm_bfs_template.h:720-721) —
-# kept for documentation; the switch below uses static edge-budget tiers,
-# which bound the same quantity (frontier out-edges) the reference's
-# node-count heuristic approximates.
-RD_FRACTION = 0.05
-RD_THRESHOLD = 1024
-
-
 class BfsResult(NamedTuple):
     level: jax.Array       # [N_pad] int32, -1 = unreached
     levels_run: jax.Array  # number of levels expanded
