@@ -31,6 +31,22 @@ def _num_chips(ctx: RunContext) -> int:
     return int(k) if k else 1
 
 
+def _placement(ctx: RunContext) -> str:
+    p = (ctx.options.get_option("GMPlacement")
+         if ctx.options else None) or "distribute"
+    return p.lower()
+
+
+def _run_replicated(ctx, gm_app: str, **kw):
+    """-GMPlacement=replicate: compiled DSL program, edge arrays
+    sharded, node state replicated + psum (the round-1 scheme, Shoal
+    baseline config)."""
+    from ..lang import distribute
+    from ..lang.lower import compile_file
+    cp = compile_file(f"/root/reference/apps/src/{gm_app}.gm")
+    return distribute.run_sharded(cp, ctx.graph, **kw)
+
+
 def _vsharded(ctx: RunContext, k: int):
     import jax
 
@@ -55,6 +71,15 @@ def make_pagerank() -> UserMain:
 
     def run(ctx: RunContext) -> Dict:
         k = _num_chips(ctx)
+        if k > 1 and _placement(ctx) == "replicate":
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                out = _run_replicated(
+                    ctx, "pagerank", e=float(ctx.scalars["e"]),
+                    d=float(ctx.scalars["d"]),
+                    max=int(ctx.scalars["max_iter"]))
+            return {"rank": np.asarray(out["pg_rank"])}
         if k > 1:
             from ..parallel.vertex_sharded import pagerank_vsharded
             vsg, mesh = _vsharded(ctx, k)

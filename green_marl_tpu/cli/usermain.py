@@ -97,6 +97,12 @@ class UserMain:
                           "BIN|EBIN|EDGE|NODE_PROP|AVRO|NULL")
         self.O.add_option("GMNumChips", int, None,
                           "Number of TPU chips (mesh size)")
+        self.O.add_option("GMPlacement", str, "distribute",
+                          "Sharded-run array placement policy: "
+                          "'distribute' = vertex-sharded O(N/S) owned "
+                          "state + ghost all_to_all; 'replicate' = "
+                          "replicated node state + psum combine (the "
+                          "Shoal -d vs baseline configs, run.sh:66-105)")
         self.O.add_option("GMNumThreads", int, None,
                           "Accepted for reference-CLI compatibility")
         self.O.add_option("GMDumpGraph", int, "0",
