@@ -115,6 +115,13 @@ def make_hop_dist() -> UserMain:
 
     def run(ctx: RunContext) -> Dict:
         k = _num_chips(ctx)
+        if k > 1 and _placement(ctx) == "replicate":
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                out = _run_replicated(ctx, "hop_dist",
+                                      root=_rng_root(ctx))
+            return {"dist": np.asarray(out["dist"])}
         if k > 1:
             from ..parallel.vertex_sharded import hop_dist_vsharded
             vsg, mesh = _vsharded(ctx, k)

@@ -232,3 +232,19 @@ def test_avro_roundtrip(tmp_path):
     np.testing.assert_array_equal(nps[0], age)
     np.testing.assert_array_equal(nps[1], flag)
     np.testing.assert_allclose(eps[0][perm2], wt)
+
+
+def test_gm_rand32_matches_reference_sequence():
+    """Hard-coded first draws of the reference xorshift (verified
+    against compiled gm_rand.cc): the foundation of value-level sssp /
+    conduct parity."""
+    import numpy as np
+
+    from green_marl_tpu.utils.gm_rand import (GmRand32, c_mod,
+                                              sssp_edge_lengths)
+    np.testing.assert_array_equal(
+        GmRand32().sequence(8),
+        [267649, 518682, 10978, 22382, 43958, 89563, 175741, 357926])
+    np.testing.assert_array_equal(
+        sssp_edge_lengths(8), [50, 83, 79, 83, 59, 64, 42, 27])
+    assert c_mod(np.array([-7]), 5)[0] == -2   # C truncating %
