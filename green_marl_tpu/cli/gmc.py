@@ -34,26 +34,30 @@ def main(argv=None) -> int:
     verbose = False
     proc_name = None
     files = []
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a.startswith("-DS="):
-            stop = float(a[4:])
-        elif a == "-Dr":
-            do_repro = True
-        elif a == "-Dw":
-            do_rw = True
-        elif a.startswith("-V"):
-            verbose = True
-        elif a == "-p":
+    try:
+        i = 0
+        while i < len(argv):
+            a = argv[i]
+            if a.startswith("-DS="):
+                stop = float(a[4:])
+            elif a == "-Dr":
+                do_repro = True
+            elif a == "-Dw":
+                do_rw = True
+            elif a.startswith("-V"):
+                verbose = True
+            elif a == "-p":
+                i += 1
+                proc_name = argv[i]
+            elif a.startswith("-"):
+                print(f"unknown option {a}", file=sys.stderr)
+                return 1
+            else:
+                files.append(a)
             i += 1
-            proc_name = argv[i]
-        elif a.startswith("-"):
-            print(f"unknown option {a}", file=sys.stderr)
-            return 1
-        else:
-            files.append(a)
-        i += 1
+    except (IndexError, ValueError) as e:
+        print(f"bad arguments: {e}", file=sys.stderr)
+        return 1
     if not files:
         print(__doc__)
         return 1

@@ -167,9 +167,10 @@ class UserMain:
         elif fmt == "AVRO":
             # Avro object container (gm_graph_avro_loader.cc analog)
             from ..graph import avro_io
-            src, dst, nprop_arrays, eav, _, _ = avro_io.load_avro(path)
+            (src, dst, nprop_arrays, eav, _, _,
+             nn) = avro_io.load_avro(path)
             g, perm = from_edges(src.astype(np.int32),
-                                 dst.astype(np.int32))
+                                 dst.astype(np.int32), nn)
             eprop_arrays = [np.asarray(p)[perm] for p in eav]
         else:
             raise SystemExit(f"unknown input format {fmt}")
@@ -259,6 +260,16 @@ class UserMain:
         if out is None:
             return
         fmt = self.O.get_option("GMOutputFormat").upper()
+        from ..graph import fs
+        dest = out
+        if fs.is_remote(out):
+            import hashlib
+            import os as _os
+            import tempfile as _tf
+            h = hashlib.sha1(out.encode()).hexdigest()[:10]
+            out = _os.path.join(_tf.gettempdir(),
+                                f"gmtpu_out_{h}_" +
+                                _os.path.basename(out))
         g = ctx.graph
         begin = np.asarray(g.begin)
         node_idx = np.asarray(g.node_idx)[: g.num_edges]
@@ -293,6 +304,8 @@ class UserMain:
                                edge_props=out_eprops)
         else:
             raise SystemExit(f"unknown output format {fmt}")
+        if dest != out:
+            fs.publish(out, dest)
 
 
 def _fmt(v, t) -> str:

@@ -230,8 +230,10 @@ def _np_avro_type(a: np.ndarray) -> str:
 
 def load_avro(path: str):
     """Returns (src, dst, node_props, edge_props, nprop_types,
-    eprop_types) — edge endpoints in file order (the caller builds the
-    CSR with ``from_edges``, like ``gm_graph::load_avro``)."""
+    eprop_types, num_nodes) — edge endpoints in file order (the caller
+    builds the CSR with ``from_edges``, like ``gm_graph::load_avro``);
+    ``num_nodes`` comes from the record count, preserving isolated
+    high-id nodes."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != MAGIC:
@@ -243,7 +245,11 @@ def load_avro(path: str):
         n = r.long()
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # spec: negative block count is followed by the byte size
+            n = -n
+            r.long()
+        for _ in range(n):
             k = r.bytes_().decode()
             meta[k] = r.bytes_()
     schema = json.loads(meta["avro.schema"])
@@ -284,6 +290,9 @@ def load_avro(path: str):
         end = r.pos + size
         for _ in range(count):
             vid = read_union_prim("long")
+            if vid is None:
+                raise ValueError("null node id (reference expects the "
+                                 "non-null union branch)")
             node_ids.append(vid)
             for i, t in enumerate(nprop_types):
                 nvals[i].append(read_union_prim(t))
@@ -311,5 +320,9 @@ def load_avro(path: str):
               for v, t in zip(nvals, nprop_types)]
     eprops = [np.asarray(v, _PRIM_NP[t])
               for v, t in zip(evals, eprop_types)]
+    # one record per node: the record count IS the node count (isolated
+    # high-id nodes would otherwise be lost by max-endpoint inference)
+    num_nodes = max(len(node_ids),
+                    int(max(node_ids, default=-1)) + 1)
     return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
-            nprops, eprops, nprop_types, eprop_types)
+            nprops, eprops, nprop_types, eprop_types, num_nodes)

@@ -12,6 +12,7 @@ fails at link time instead).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import subprocess
@@ -26,8 +27,9 @@ def fetch(path: str) -> str:
     """Resolve ``path`` to a local file, staging remote schemes."""
     if not is_remote(path):
         return path
+    h = hashlib.sha1(path.encode()).hexdigest()[:10]
     tmp = os.path.join(tempfile.gettempdir(),
-                       "gmtpu_" + os.path.basename(path))
+                       f"gmtpu_{h}_" + os.path.basename(path))
     if path.startswith("hdfs://"):
         tool, argv = "hdfs", ["hdfs", "dfs", "-get", "-f", path, tmp]
     else:

@@ -52,6 +52,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gm_rmat_edges.argtypes = [
         ctypes.c_int32, ctypes.c_int64, ctypes.c_uint64, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.c_int32, i32p, i32p]
+    try:
+        lib.gm_xorshift_lengths.restype = None
+        lib.gm_xorshift_lengths.argtypes = [ctypes.c_int64,
+                                            ctypes.c_int32,
+                                            ctypes.c_int32, i32p]
+    except AttributeError:   # stale .so without the symbol
+        pass
     _LIB = lib
     return lib
 
@@ -119,3 +126,14 @@ def rmat_edges(n: int, m: int, seed: int = 0, a: float = 0.45,
     lib.gm_rmat_edges(n, m, seed, a, b, c, int(permute), _ptr(src),
                       _ptr(dst))
     return src, dst
+
+
+def xorshift_lengths(n: int, mod: int = 100, add: int = 1):
+    """Reference gm_rand32 sequence natively ((rand()%mod)+add per CSR
+    slot, sssp_main.cc:31-33); None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gm_xorshift_lengths"):
+        return None
+    out = np.empty(n, np.int32)
+    lib.gm_xorshift_lengths(n, mod, add, _ptr(out))
+    return out

@@ -1392,8 +1392,7 @@ class Lowerer:
         k = jnp.asarray(self.eval(s.lhs.key, env, ctx))
         v = jnp.asarray(self.eval(s.rhs, env, ctx), jnp.int32)
         mask = ctx.mask
-        outer = (ctx.outer_ids if ctx.kind == "edge"
-                 else ctx.outer_ids)
+        outer = ctx.outer_ids
         hist.entries.append((
             jnp.broadcast_to(k, mask.shape),
             jnp.broadcast_to(v, mask.shape),

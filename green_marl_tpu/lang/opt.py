@@ -794,6 +794,19 @@ def _stmt_rw(s: A.Stmt):
     for st in _walk_stmts(s):
         for e in _walk_exprs_of(st):
             reads |= _idents_read(e)
+        # iteration sources are reads too (Foreach(s: x.Nbrs) depends
+        # on x; hoisting past a write/declaration of x reorders wrongly)
+        if isinstance(st, A.Foreach):
+            it = st.iterator
+            if it.source:
+                reads.add(it.source)
+            if it.common_with:
+                reads.add(it.common_with)
+            if it.source_field is not None:
+                reads.add("$" + it.source_field.prop)
+                reads.add(it.source_field.driver)
+        if isinstance(st, A.BFS):
+            reads.add(st.root)
     reads |= {"$" + p for p in _props_read(s)}
     writes: Set[str] = set()
     for name, _ in _lhs_infos(s):

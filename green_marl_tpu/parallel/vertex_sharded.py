@@ -321,7 +321,9 @@ def sssp_vsharded(vsg: VertexShardedGraph, mesh: Mesh, w_slab,
     if max_iter <= 0:
         max_iter = N
     wdt = jnp.asarray(w_slab).dtype
-    BIG = (jnp.asarray(INT32_MAX // 2, wdt)
+    # unreached sentinel matches the single-device path and the
+    # reference's (int)+INF saturation: INT32_MAX for integer dists
+    BIG = (jnp.asarray(jnp.iinfo(wdt).max, wdt)
            if jnp.issubdtype(wdt, jnp.integer) else INF_F32.astype(wdt))
 
     @partial(shard_map, mesh=mesh,
@@ -344,7 +346,9 @@ def sssp_vsharded(vsg: VertexShardedGraph, mesh: Mesh, w_slab,
         def body(c):
             dist, it, _ = c
             ghost = _exchange(dist, send_idx, axis)
-            cand = jnp.where(emask, ghost[vidx] + w, BIG)
+            gv = ghost[vidx]
+            # never add to the sentinel (INT32_MAX + w would wrap)
+            cand = jnp.where(emask & (gv < BIG), gv + w, BIG)
             m = jax.ops.segment_min(cand, dst_l, num_segments=L + 1,
                                     indices_are_sorted=True)[:L]
             newd = jnp.where(owned, jnp.minimum(dist, m), BIG)

@@ -47,7 +47,14 @@ def c_mod(a: np.ndarray, m: int) -> np.ndarray:
 
 def sssp_edge_lengths(num_edges: int) -> np.ndarray:
     """``len[i] = (rand() % 100) + 1`` over edges in CSR order
-    (sssp_main.cc:31-33)."""
+    (sssp_main.cc:31-33).  Native (OpenMP-side C loop) beyond fixture
+    scale; the Python recurrence covers small inputs and environments
+    without the compiled helper."""
+    if num_edges > 1_000_000:
+        from ..graph import native
+        out = native.xorshift_lengths(num_edges, 100, 1)
+        if out is not None:
+            return out
     r = GmRand32().sequence(num_edges)
     return (c_mod(r, 100) + 1).astype(np.int32)
 

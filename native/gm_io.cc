@@ -221,5 +221,24 @@ void gm_rmat_edges(int32_t n, int64_t m, uint64_t seed, double a,
     }
   }
 }
-
 }  // extern "C"
+
+extern "C" {
+// Reference gm_rand32 sequence (sssp_main.cc weight generation):
+// next ^= next<<13; next = next>>17 (arithmetic); next ^= next<<5.
+// Sequential recurrence — generated natively so LJ-scale runs don't
+// pay a per-element Python loop.
+void gm_xorshift_lengths(int64_t n, int32_t mod, int32_t add,
+                         int32_t* out) {
+  int32_t next = (int32_t)2463534242u;
+  for (int64_t i = 0; i < n; ++i) {
+    next ^= (int32_t)((uint32_t)next << 13);
+    next = next >> 17;
+    next ^= (int32_t)((uint32_t)next << 5);
+    int32_t v = next;
+    if (mod > 0) v = (int32_t)(v % mod) + add;
+    out[i] = v;
+  }
+}
+}
+

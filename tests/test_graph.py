@@ -223,9 +223,10 @@ def test_avro_roundtrip(tmp_path):
     p = str(tmp_path / "g.avro")
     avro_io.store_avro(p, begin, ni, node_props=[age, flag],
                        edge_props=[wt])
-    s2, d2, nps, eps, nt, et = avro_io.load_avro(p)
+    s2, d2, nps, eps, nt, et, nn = avro_io.load_avro(p)
     assert nt == ["int", "boolean"] and et == ["double"]
-    g2, perm2 = from_edges(s2.astype(np.int32), d2.astype(np.int32), 300)
+    assert nn == 300
+    g2, perm2 = from_edges(s2.astype(np.int32), d2.astype(np.int32), nn)
     np.testing.assert_array_equal(np.asarray(g2.begin), begin)
     np.testing.assert_array_equal(
         np.asarray(g2.node_idx)[: g.num_edges], ni)

@@ -93,9 +93,10 @@ def test_sssp_matches_oracle(setup):
     w_pad[:e] = w
     w_slab = V.shard_edge_prop(vsg, g, w_pad)
 
-    # numpy Bellman-Ford oracle
+    # numpy Bellman-Ford oracle (sentinel INT32_MAX like the
+    # single-device path / reference +INF saturation)
     s_, d_ = _csr_np(g)
-    BIG = np.iinfo(np.int32).max // 2
+    BIG = np.iinfo(np.int32).max
     dist = np.full(n, BIG, np.int64)
     dist[0] = 0
     for _ in range(n):
