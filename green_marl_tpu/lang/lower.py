@@ -1392,11 +1392,24 @@ class Lowerer:
         k = jnp.asarray(self.eval(s.lhs.key, env, ctx))
         v = jnp.asarray(self.eval(s.rhs, env, ctx), jnp.int32)
         mask = ctx.mask
-        outer = ctx.outer_ids
+        if ctx.kind == "wedge":
+            # owner is the ENCLOSING NODE LOOP's variable, not the
+            # wedge's second-hop driver (ctx.outer_ids would attribute
+            # the increment to the intermediate neighbor's map)
+            par = ctx.parent
+            pk = getattr(par, "kind", None)
+            if pk == "node":
+                owner = jnp.asarray(par.ids)[ctx.sel]
+            elif pk == "edge":
+                owner = jnp.asarray(par.outer_ids)[ctx.sel]
+            else:
+                raise LowerError("per-node map += nested too deeply")
+        else:
+            owner = ctx.outer_ids
         hist.entries.append((
             jnp.broadcast_to(k, mask.shape),
             jnp.broadcast_to(v, mask.shape),
-            mask, jnp.broadcast_to(jnp.asarray(outer), mask.shape)))
+            mask, jnp.broadcast_to(jnp.asarray(owner), mask.shape)))
         hist.cache = None
 
     def _exec_map_assign(self, s, env, ctx, op=None):
@@ -1648,10 +1661,12 @@ class Lowerer:
                             f"{op}= with random target not lowerable")
                     work = vals
                 work = jnp.where(ctx.mask, work, ident)
+                # no cross-shard combine: node-context values are
+                # replicated under edge sharding — a psum here would
+                # multiply SUM results by the shard count
                 seg = {"add": ops.segment_sum, "min": ops.segment_min,
                        "max": ops.segment_max}[sub](
                     work, idv, ctx.g.n_pad, sorted_ids=False)
-                seg = self._pcomb(seg, sub)
                 if op in ("AND", "OR"):
                     seg = seg > 0
                 new = _coerce(_combine(op, arr, seg), dt)
@@ -2198,17 +2213,22 @@ class Lowerer:
                 e2[k] = v
             return e2
 
-        def active_of(e2):
+        def cond_of(e2):
             c = jnp.asarray(lw.eval(s.cond, e2, ctx))
-            c = jnp.broadcast_to(c, ctx.mask.shape)
-            return ctx.mask & c
+            return jnp.broadcast_to(c, ctx.mask.shape)
 
+        # the active set narrows MONOTONICALLY: once a slot observes a
+        # false condition it exits for good, like the reference's
+        # per-thread while — even if another slot's writes later flip
+        # its condition back to true
         def cond_fn(carry):
-            return jnp.any(active_of(overlay(carry)))
+            act = carry[0]
+            return jnp.any(act)
 
         def body_fn(carry):
-            e2 = overlay(carry)
-            lw.exec_stmt(s.body, e2, ctx.with_mask(active_of(e2)))
+            act = carry[0]
+            e2 = overlay(carry[1:])
+            lw.exec_stmt(s.body, e2, ctx.with_mask(act))
             out = []
             for k, sd in zip(carry_keys, shapes):
                 if sd is None:
@@ -2221,15 +2241,17 @@ class Lowerer:
                         f"loop-carried {k} changes shape "
                         f"{shape}->{v.shape}")
                 out.append(v.astype(dt))
-            return tuple(out)
+            new_act = act & cond_of(overlay(tuple(out)))
+            return (new_act,) + tuple(out)
 
         if s.do_while:
             e2 = overlay(init)
             lw.exec_stmt(s.body, e2, ctx)
             init = tuple(jnp.asarray(e2[k]) if sd is not None else e2[k]
                          for k, sd in zip(carry_keys, shapes))
-        final = jax.lax.while_loop(cond_fn, body_fn, init)
-        for k, v in zip(carry_keys, final):
+        act0 = ctx.mask & cond_of(overlay(init))
+        final = jax.lax.while_loop(cond_fn, body_fn, (act0,) + init)
+        for k, v in zip(carry_keys, final[1:]):
             env[k] = v
 
     def _exec_while_eager(self, s: A.While, env, max_iters=1_000_000):

@@ -58,8 +58,17 @@ def _levels(lw, root, transpose: bool, allowed=None):
             # transposed edge w->v reversed) is in the frontier —
             # Exist(w: v.OutNbrs){fr[w]}.  (Was in_nbr_any — forward
             # expansion — which silently merged kosaraju's SCCs.)
-            from ..ops import scan_reduce
-            reach = scan_reduce.out_nbr_count_true(g, fr) > 0
+            if lw.axis is None:
+                from ..ops import scan_reduce
+                reach = scan_reduce.out_nbr_count_true(g, fr) > 0
+            else:
+                # sharded slabs: g.begin is global, the slot arrays are
+                # per-shard — reduce by the slab's src endpoints and
+                # pcomb (offset-based prefix sums would misalign)
+                from ..ops.segment import segment_max
+                vals = fr[g.node_idx].astype(jnp.int8)
+                reach = segment_max(vals, g.node_idx_src, g.n_pad,
+                                    sorted_ids=False) > 0
         else:
             vals = fr[g.node_idx_src].astype(jnp.int8)
             from ..ops.segment import segment_max

@@ -824,8 +824,13 @@ def _stmt_rw(s: A.Stmt):
                 writes.add(nm)
                 if st.type.is_property():
                     writes.add("$" + nm)
-        if isinstance(st, A.CallStmt) and st.call.driver is not None:
-            writes.add(st.call.driver)
+        if isinstance(st, A.CallStmt):
+            if st.call.driver is not None:
+                writes.add(st.call.driver)
+            if st.call.driver_field is not None:
+                # set-valued property mutators: v.S.Add(w) writes $S
+                writes.add("$" + st.call.driver_field.prop)
+                reads.add(st.call.driver_field.driver)
     return reads, writes
 
 

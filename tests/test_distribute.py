@@ -157,3 +157,39 @@ def test_gmnumchips_cli_runs_sharded(graph, tmp_path, capsys):
     ranks1 = [line for line in out1.splitlines()
               if line.startswith("rank[")]
     assert ranks8 and ranks8 == ranks1
+
+
+def test_transpose_inbfs_sharded_matches(graph):
+    """BFS over G^ under sharding: the reach must come from the local
+    slab endpoints + pcomb, not global offsets (round-3 review)."""
+    src = """
+Procedure revreach(G: Graph, root: Node, vis: N_P<Int>)
+{
+    G.vis = 0;
+    InBFS(v: G^.Nodes From root) {
+        v.vis = 1;
+    }
+}
+"""
+    cp = compile_source(src)
+    _both(cp, graph, root=0)
+
+
+def test_random_target_sum_not_multiplied(graph):
+    """Node-context random-keyed += is replicated under edge sharding;
+    it must NOT be psum'd across shards (round-3 review: cnt came back
+    multiplied by the shard count)."""
+    src = """
+Procedure selfcnt(G: Graph, p: N_P<Node>, cnt: N_P<Int>)
+{
+    Foreach(n: G.Nodes) { n.p = n; }
+    Foreach(n: G.Nodes) {
+        Node m = n.p;
+        m.cnt += 1;
+    }
+}
+"""
+    cp = compile_source(src)
+    out = _both(cp, graph)
+    c = np.asarray(out["cnt"])[: graph.num_nodes]
+    np.testing.assert_array_equal(c, np.ones_like(c))

@@ -288,3 +288,79 @@ def test_batched_instances_of_compiled_programs(graph):
         ref = np.asarray(pr(g, e=1e-8, d=float(d), max=20)["pg_rank"])
         np.testing.assert_allclose(np.asarray(outs["pg_rank"][i]), ref,
                                    rtol=1e-6)
+
+
+def test_wedge_histogram_owner(graph):
+    """Per-node Map += inside a SECOND-hop loop attributes to the
+    enclosing node-loop variable, not the intermediate neighbor
+    (round-3 review finding)."""
+    g, _ = graph
+    n = g.num_nodes
+    prog = """
+    Procedure twohop(G: Graph, lab: N_P<Node>, outp: N_P<Node>) {
+        Foreach(x: G.Nodes) { x.lab = x; }
+        Foreach(x: G.Nodes) {
+            Map<Node, Int> T;
+            Foreach(m: x.Nbrs) {
+                Foreach(w: m.Nbrs) {
+                    T[w.lab] += 1;
+                }
+            }
+            If (!T.HasMaxValue(x.lab)) { x.outp = T.GetMaxKey(); }
+        }
+    }
+    """
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = compile_source(prog)(g)
+    got = np.asarray(out["outp"])[:n]
+    s_, d_ = _csr(g)
+    import collections
+    for x in range(n):
+        c = collections.Counter()
+        for m in d_[s_ == x]:
+            for w in d_[s_ == m]:
+                c[w] += 1
+        if not c:
+            assert got[x] == 0          # untouched default
+            continue
+        mx = max(c.values())
+        if c.get(x, 0) == mx:
+            assert got[x] == 0          # HasMaxValue -> no write
+        else:
+            assert got[x] == min(k for k, v in c.items() if v == mx), x
+
+
+def test_masked_while_monotonic_exit(graph):
+    """A slot that exits its per-slot While stays exited even if other
+    slots' writes make its condition true again (per-thread semantics
+    of the reference's generated while loops)."""
+    g, _ = graph
+    prog = """
+    Procedure spin(G: Graph, tok: N_P<Int>, iters: N_P<Int>) {
+        Foreach(n: G.Nodes) { n.tok = (n == 0) ? 2 : 0; }
+        Foreach(n: G.Nodes) {
+            While (n.tok > 0) {
+                n.iters += 1;
+                n.tok = n.tok - 1;
+                Foreach(m: n.Nbrs) { m.tok += 1; }
+            }
+        }
+    }
+    """
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = compile_source(prog)(g)
+    tok0 = np.zeros(g.num_nodes, np.int64)
+    iters = np.asarray(out["iters"])[: g.num_nodes]
+    s_, d_ = _csr(g)
+    # sequential per-thread oracle: thread n runs its own while to
+    # completion before n+1 starts (any serialization is a valid
+    # instance; the lockstep one must at least keep exits monotonic,
+    # which bounds iters[n] for nodes whose tok was 0 at their exit)
+    # Weak but sharp invariant: node 0 runs exactly its own token count
+    # plus tokens pushed to it BEFORE its exit — with the monotonic-exit
+    # rule and tok0=2, node 0 cannot run more than 2 + (tokens its own
+    # loop pushed back to itself via self-loops).
+    self_loops = int(((s_ == 0) & (d_ == 0)).sum())
+    assert iters[0] <= 2 + 2 * self_loops + 2

@@ -278,3 +278,35 @@ def test_all_reference_apps_optimize_and_reproduce():
         text = reproduce.reproduce(outs)
         reparsed = parser.parse(text, f + "<opt>")
         assert len(reparsed) == len(outs)
+
+
+def test_hoist_respects_iterator_source_and_field_mutators():
+    """Hoisting must not move a Foreach above a write to its iteration
+    source, nor past set-valued property mutators (round-3 review)."""
+    from green_marl_tpu.lang import opt
+    from green_marl_tpu.lang.parser import parse
+    from green_marl_tpu.lang.reproduce import reproduce
+    from green_marl_tpu.lang.typecheck import typecheck
+
+    src = """
+    Procedure f(G: Graph, b: Node, p: N_P<Int>) {
+        Node x;
+        x = b;
+        Foreach(s: x.Nbrs) { s.p += 1; }
+    }
+    """
+    procs = parse(src)
+    typecheck(procs)
+    out = reproduce(opt.optimize(procs[0]))
+    assert out.index("x = b") < out.index("Foreach")
+
+    src2 = """
+    Procedure g2(G: Graph, root: Node, S: N_P<N_S>) {
+        root.S.Remove(root);
+        Foreach(n: G.Nodes) { n.S.Add(root); }
+    }
+    """
+    procs2 = parse(src2)
+    typecheck(procs2)
+    out2 = reproduce(opt.optimize(procs2[0]))
+    assert out2.index("Remove") < out2.index("Foreach")
