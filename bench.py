@@ -49,6 +49,7 @@ PR_B = 128
 PR_ITERS = 20
 SS_ITERS = 10         # single-instance PageRank iterations
 BASELINE_GTEPS = 5.0
+PREP_VERSION = 2     # bump when the binned schedule format changes
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     N, M = 100_000, 1_600_000
@@ -110,7 +111,8 @@ def build_prep():
     arrs = binned.to_arrays(bp)
     arrs.update(begin=begin, csr_dst=csr_dst, r_begin=r_begin,
                 csc_src=csc_src, csc_dst=csc_dst, e_rev2idx=e_rev2idx,
-                deg_rows=deg_rows, out_deg=out_deg)
+                deg_rows=deg_rows, out_deg=out_deg,
+                prep_version=np.asarray([PREP_VERSION]))
     log(f"# prep build: edges {t_edges:.1f}s, csr {t_csr:.1f}s, "
         f"binning {t_bin:.1f}s")
     return arrs
@@ -120,9 +122,12 @@ def load_prep():
     if os.path.exists(PREP) and not SMOKE:
         t0 = time.time()
         z = np.load(PREP)
-        arrs = {k: z[k] for k in z.files}
-        log(f"# prep load: cache {time.time()-t0:.1f}s ({PREP})")
-        return arrs
+        if "prep_version" in z.files and \
+                int(z["prep_version"][0]) == PREP_VERSION:
+            arrs = {k: z[k] for k in z.files}
+            log(f"# prep load: cache {time.time()-t0:.1f}s ({PREP})")
+            return arrs
+        log("# prep cache stale (schedule format changed); rebuilding")
     arrs = build_prep()
     if not SMOKE:
         t0 = time.time()

@@ -152,11 +152,20 @@ def build_binned(offsets: np.ndarray, neigh: np.ndarray,
     N = int(num_nodes)
     deg = np.diff(offsets[:N + 1]).astype(np.int64)
 
-    # width class per node: 1,2,4,...,w_max ("hub" beyond)
-    cls = np.zeros(N, np.int32)
-    nz = deg > 1
-    cls[nz] = np.ceil(np.log2(deg[nz])).astype(np.int32)
-    max_cls = int(np.log2(w_max))
+    # width ladder 1, 2, 3, 4, 6, 8, 12, ... w_max: the 1.5x steps cut
+    # slot padding from ~1.55x E (pow2) to ~1.22x E at LJ scale — a
+    # direct throughput win for the issue-rate-bound row gather
+    ladder = []
+    w = 1
+    while w <= w_max:
+        ladder.append(w)
+        if w * 3 // 2 > w and w * 3 // 2 <= w_max:
+            ladder.append(w * 3 // 2)
+        w *= 2
+    ladder = sorted(set(ladder))
+    lad = np.asarray(ladder, np.int64)
+    cls = np.searchsorted(lad, np.maximum(deg, 1)).astype(np.int32)
+    max_cls = len(ladder) - 1
     is_hub = deg > w_max
 
     # binned order: non-hubs grouped by class ascending, hubs last;
@@ -181,7 +190,7 @@ def build_binned(offsets: np.ndarray, neigh: np.ndarray,
     slot_off = 0
     row_off = 0
     for k in range(max_cls + 1):
-        W = 1 << k
+        W = ladder[k]
         sel = order[(sort_key[order] == k)]
         cnt = int(sel.shape[0])
         if cnt == 0:
