@@ -49,7 +49,7 @@ PR_B = 128
 PR_ITERS = 20
 SS_ITERS = 10         # single-instance PageRank iterations
 BASELINE_GTEPS = 5.0
-PREP_VERSION = 2     # bump when the binned schedule format changes
+PREP_VERSION = 3     # bump when the binned schedule format changes
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     N, M = 100_000, 1_600_000
