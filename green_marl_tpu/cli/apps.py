@@ -128,6 +128,12 @@ def make_hop_dist() -> UserMain:
             dist, _ = hop_dist_vsharded(vsg, mesh, _rng_root(ctx))
             # reference prints INT32_MAX for unreached (hop_dist.gm +INF)
             return {"dist": np.asarray(dist)}
+        if ctx.options and ctx.options.get_option("GMProfile"):
+            from ..models.relax import min_relax_profiled
+            from ..utils.timing import graph_placement_report
+            print(graph_placement_report(ctx.graph), file=sys.stderr)
+            res = min_relax_profiled(ctx.graph, _rng_root(ctx))
+            return {"dist": np.asarray(res.dist)}
         from ..models.hop_dist import hop_dist
         res = hop_dist(ctx.graph, _rng_root(ctx))
         return {"dist": np.asarray(res.dist)}

@@ -99,3 +99,39 @@ def min_relax_np(begin, node_idx, root, edge_len=None):
         changed = bool((new < dist).any())
         dist = new
     return dist
+
+
+def min_relax_profiled(g: Graph, root, edge_len=None,
+                       max_iter=None, dist_dtype=jnp.int32):
+    """Host-driven ``min_relax`` with per-superstep timing lines
+    (``superstep[i] time=...``; utils.timing.profile_supersteps) —
+    the -GMProfile path for hop_dist/sssp."""
+    from ..utils.timing import profile_supersteps, sync
+    if max_iter is None:
+        max_iter = g.num_nodes + 1
+    inf = _inf(dist_dtype)
+    ids = jnp.arange(g.n_pad, dtype=g.node_dtype)
+    dist0 = jnp.where(ids == root, jnp.zeros((), dist_dtype), inf)
+    dist0 = jnp.where(g.node_mask(), dist0, inf)
+    upd0 = ids == root
+    w_csc = (edge_len[g.e_rev2idx].astype(dist_dtype)
+             if edge_len is not None else None)
+
+    @jax.jit
+    def step(state):
+        dist, updated = state
+        src_dist = dist[g.r_node_idx]
+        src_upd = updated[g.r_node_idx]
+        w = w_csc if w_csc is not None else jnp.ones((), dist_dtype)
+        cand = jnp.where(src_upd, src_dist + w, inf)
+        best = ops.sorted_segment_reduce(cand, g.r_node_idx_dst,
+                                         g.r_begin, g.n_pad, "min")
+        new_dist = jnp.minimum(dist, best)
+        return new_dist, new_dist < dist
+
+    def cond(state):
+        return jnp.any(state[1])
+
+    sync(step((dist0, upd0)))      # compile outside the timings
+    dist, _ = profile_supersteps(step, (dist0, upd0), cond, max_iter)
+    return RelaxResult(dist=dist, iterations=jnp.zeros((), jnp.int32))
