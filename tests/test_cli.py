@@ -125,3 +125,32 @@ def test_remote_scheme_fails_fast_without_tooling():
     if fs.shutil.which("hdfs") is None:
         with _pytest.raises(RuntimeError, match="hdfs"):
             fs.fetch("hdfs://nn/graph.bin")
+
+
+def test_gmprofile_superstep_lines(tmp_path, capsys):
+    """-GMProfile prints the per-array placement table (stderr) and
+    parseable superstep[i] time= lines (the Shoal step-timer /
+    PROFILE_LEVEL_TIME protocol)."""
+    import numpy as np
+
+    from green_marl_tpu.cli.apps import main
+    from green_marl_tpu.graph import binary_io as bio
+    from green_marl_tpu.graph import generate as gen
+    from green_marl_tpu.graph.csr import from_edges
+    src, dst = gen.rmat_edges(150, 900, seed=2)
+    g, _ = from_edges(src, dst, 150)
+    p = str(tmp_path / "t.bin")
+    bio.store_binary(p, np.asarray(g.begin),
+                     np.asarray(g.node_idx)[: g.num_edges])
+    rc = main(["pagerank", "-GMProfile=1", "-max_iter=3", p])
+    assert rc == 0
+    cap = capsys.readouterr()
+    steps = [line for line in cap.out.splitlines()
+             if line.startswith("superstep[")]
+    assert len(steps) == 3 and "time=" in steps[0]
+    assert "Array[begin]:" in cap.err
+    rc = main(["hop_dist", "-GMProfile=1", p])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert any(line.startswith("superstep[")
+               for line in cap.out.splitlines())
