@@ -169,6 +169,11 @@ def make_sssp() -> UserMain:
             w_slab = V.shard_edge_prop(vsg, g, w)
             dist, _ = V.sssp_vsharded(vsg, mesh, w_slab, _rng_root(ctx))
             return {"dist": np.asarray(dist)}
+        if ctx.options and ctx.options.get_option("GMProfile"):
+            from ..models.relax import min_relax_profiled
+            res = min_relax_profiled(g, _rng_root(ctx),
+                                     edge_len=jnp.asarray(w))
+            return {"dist": np.asarray(res.dist)}
         res = sssp(g, _rng_root(ctx), jnp.asarray(w))
         return {"dist": np.asarray(res.dist)}
 
@@ -495,8 +500,57 @@ def make_potential_friends() -> UserMain:
     return m
 
 
+def make_multi_bfs() -> UserMain:
+    m = UserMain("multi_bfs", "Batched multi-source BFS on the "
+                 "bit-packed binned engine (the capability the "
+                 "reference lacks; SURVEY.md §2.10)")
+    m.declare_scalar("num_roots", bio.GMTYPE_INT, True, False,
+                     default=1024)
+    m.declare_scalar("plane_bits", bio.GMTYPE_INT, True, False,
+                     default=32)
+
+    def run(ctx: RunContext) -> Dict:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import batched
+        from ..ops import binned
+        g = ctx.graph
+        B = int(ctx.scalars["num_roots"])
+        pb = int(ctx.scalars["plane_bits"])
+        if pb not in (8, 16, 32):
+            raise SystemExit("plane_bits must be 8, 16 or 32")
+        if B > 128 * pb:
+            raise SystemExit(f"num_roots <= {128 * pb} at "
+                             f"plane_bits={pb}")
+        bp = binned.device_put_lite(binned.binned_in(g))
+        deg = np.asarray(g.out_degree())[: bp.n_nodes]
+        deg_rows = np.zeros(bp.n_rows, np.int32)
+        deg_rows[: bp.n_nodes] = deg[np.asarray(bp.perm)]
+        deg_rows = jax.device_put(deg_rows)
+        order = np.argsort(np.asarray(g.out_degree())[: g.num_nodes])
+        roots = order[::-1][:B].astype(np.int32)
+        t0 = time.time()
+        res = batched.multi_source_bfs_bits(
+            bp, jnp.asarray(roots), deg_rows, plane_bits=pb)
+        trav = np.asarray(jax.device_get(res.traversed)).astype(np.int64)
+        dt = time.time() - t0
+        total = int(trav.sum())
+        print(f"batched bfs: B={B} levels={int(res.levels_run)} "
+              f"traversed={total} "
+              f"aggregate={total / dt / 1e9:.3f} GTEPS "
+              "(incl. compile on first run)")
+        return {}
+
+    m.set_run(run)
+    return m
+
+
 APPS = {
     "pagerank": make_pagerank,
+    "multi_bfs": make_multi_bfs,
     "hop_dist": make_hop_dist,
     "sssp": make_sssp,
     "triangle_counting": make_triangle_counting,
