@@ -62,6 +62,33 @@ def _vsharded(ctx: RunContext, k: int):
     return vsg, mesh
 
 
+def _run_compiled_vsharded(ctx: RunContext, gm_app: str, k: int, **kw):
+    """-GMPlacement=distribute (default): COMPILED DSL program executed
+    vertex-sharded — owned [N/S] node slabs + cut-sized ghost exchange
+    inside the Lowerer itself (lang.lower_vertex), the GPS-backend
+    capability.  ``engine`` selects the hand-written superstep engine,
+    ``replicate`` the round-1 edge-sharding scheme."""
+    import warnings as _w
+
+    import jax
+
+    from ..lang import lower_vertex as LV
+    from ..lang.lower import compile_file
+    if len(jax.devices()) < k:
+        raise SystemExit(
+            f"-GMNumChips={k}: only {len(jax.devices())} devices "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count "
+            "for a virtual CPU mesh)")
+    mesh = LV._default_mesh("v", k)
+    sched = LV.place_schedule(LV.build_schedule(ctx.graph, k), mesh)
+    print(LV.placement_report(sched), file=sys.stderr)
+    cp = compile_file(f"/root/reference/apps/src/{gm_app}.gm")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        return LV.run_vertex_sharded(cp, ctx.graph, mesh=mesh,
+                                     sched=sched, **kw)
+
+
 def make_pagerank() -> UserMain:
     m = UserMain("pagerank", "PageRank power iteration (pagerank.gm)")
     m.declare_scalar("max_iter", bio.GMTYPE_INT, True, False, default=100)
@@ -80,7 +107,7 @@ def make_pagerank() -> UserMain:
                     d=float(ctx.scalars["d"]),
                     max=int(ctx.scalars["max_iter"]))
             return {"rank": np.asarray(out["pg_rank"])}
-        if k > 1:
+        if k > 1 and _placement(ctx) == "engine":
             from ..parallel.vertex_sharded import pagerank_vsharded
             vsg, mesh = _vsharded(ctx, k)
             rank, _, _ = pagerank_vsharded(
@@ -88,6 +115,12 @@ def make_pagerank() -> UserMain:
                 d=float(ctx.scalars["d"]),
                 max_iter=int(ctx.scalars["max_iter"]))
             return {"rank": np.asarray(rank)}
+        if k > 1:
+            out = _run_compiled_vsharded(
+                ctx, "pagerank", k, e=float(ctx.scalars["e"]),
+                d=float(ctx.scalars["d"]),
+                max=int(ctx.scalars["max_iter"]))
+            return {"rank": np.asarray(out["pg_rank"])}
         if ctx.options and ctx.options.get_option("GMProfile"):
             from ..utils.timing import graph_placement_report
             print(graph_placement_report(ctx.graph), file=sys.stderr)
@@ -122,12 +155,16 @@ def make_hop_dist() -> UserMain:
                 out = _run_replicated(ctx, "hop_dist",
                                       root=_rng_root(ctx))
             return {"dist": np.asarray(out["dist"])}
-        if k > 1:
+        if k > 1 and _placement(ctx) == "engine":
             from ..parallel.vertex_sharded import hop_dist_vsharded
             vsg, mesh = _vsharded(ctx, k)
             dist, _ = hop_dist_vsharded(vsg, mesh, _rng_root(ctx))
             # reference prints INT32_MAX for unreached (hop_dist.gm +INF)
             return {"dist": np.asarray(dist)}
+        if k > 1:
+            out = _run_compiled_vsharded(ctx, "hop_dist", k,
+                                         root=_rng_root(ctx))
+            return {"dist": np.asarray(out["dist"])}
         if ctx.options and ctx.options.get_option("GMProfile"):
             from ..models.relax import min_relax_profiled
             from ..utils.timing import graph_placement_report
@@ -163,12 +200,23 @@ def make_sssp() -> UserMain:
             ctx.edge_props["len"] = sssp_edge_lengths(g.num_edges)
         w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
         k = _num_chips(ctx)
-        if k > 1:
+        if k > 1 and _placement(ctx) == "engine":
             from ..parallel import vertex_sharded as V
             vsg, mesh = _vsharded(ctx, k)
             w_slab = V.shard_edge_prop(vsg, g, w)
             dist, _ = V.sssp_vsharded(vsg, mesh, w_slab, _rng_root(ctx))
             return {"dist": np.asarray(dist)}
+        if k > 1 and _placement(ctx) == "replicate":
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                out = _run_replicated(ctx, "sssp", len=w,
+                                      root=_rng_root(ctx))
+            return {"dist": np.asarray(out["dist"])}
+        if k > 1:
+            out = _run_compiled_vsharded(ctx, "sssp", k, len=w,
+                                         root=_rng_root(ctx))
+            return {"dist": np.asarray(out["dist"])}
         if ctx.options and ctx.options.get_option("GMProfile"):
             from ..models.relax import min_relax_profiled
             res = min_relax_profiled(g, _rng_root(ctx),
