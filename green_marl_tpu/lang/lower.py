@@ -2505,7 +2505,10 @@ def _pick(procs: List[A.Procedure], name: Optional[str],
     if optimize:
         from . import opt
         procs = [opt.optimize(p, clone=True) for p in procs]
-        typecheck(procs)
+        # re-annotate optimizer-introduced temporaries; semantic
+        # conflict checks ran on the source form above (optimizer
+        # rewrites like nonconf reduce->write would trip them)
+        typecheck(procs, semantic=False)
     if name is None:
         cands = [p for p in procs if not p.is_local]
         proc = cands[-1]

@@ -13,24 +13,49 @@ REF = "/root/reference"
 POSITIVE = ["apps/src", "test/parse", "test/sugars", "test/opt",
             "test/cpp_be", "test/rw_check", "test/gps"]
 
+# measured against the reference binary: rw8/9/10 are REJECTED by it
+# (rw_check is listed as an intended-error dir in check_if_crash.sh);
+# everything else in the positive dirs compiles (o8.gm actually
+# SEGFAULTS the reference compiler — we accept it cleanly, as its own
+# comment says the reductions are non-conflicting)
+_EXPECTED_REJECTS = {"rw8.gm", "rw9.gm", "rw10.gm"}
+
 
 @pytest.mark.parametrize("subdir", POSITIVE)
 def test_positive_suites_typecheck(subdir):
     for f in sorted(glob.glob(f"{REF}/{subdir}/*.gm")):
+        if f.rsplit("/", 1)[-1] in _EXPECTED_REJECTS:
+            with pytest.raises(GMTypeError):
+                typecheck(parse_file(f), f)
+            continue
         typecheck(parse_file(f), f)   # must not raise
 
 
-def test_error_suite_never_crashes_and_rejects_many():
-    rejected = 0
-    files = sorted(glob.glob(f"{REF}/test/errors/*.gm"))
+# Ground truth measured by running the reference compiler binary
+# (gm_comp -DS=3 -V=1) over test/errors/*.gm: it ACCEPTS these 8 files
+# (rc=0 — e38/39/41/42 are warning-only mutate conflicts, e04/e16/e31/
+# e58 compile clean despite their comments) and rejects the other 64.
+_REF_ACCEPTS = {"e04", "e16", "e31", "e38", "e39", "e41", "e42", "e58"}
+
+
+def test_error_suite_exact_verdicts():
+    """Per-file accept/reject verdicts match the reference compiler on
+    all 72 negative-test programs (VERDICT r3 item 2: replaces the
+    `rejected >= 25` floor)."""
+    files = sorted(glob.glob(f"{REF}/test/errors/e*.gm"))
+    assert len(files) == 72
+    wrong = []
     for f in files:
+        name = f.rsplit("/", 1)[-1][:-3]
         try:
             typecheck(parse_file(f), f)
+            verdict = "accept"
         except GMTypeError:
-            rejected += 1
-    # the reference rejects all 72; our front-end currently catches the
-    # symbol/type/binding classes — keep a floor so regressions surface
-    assert rejected >= 25, rejected
+            verdict = "reject"
+        want = "accept" if name in _REF_ACCEPTS else "reject"
+        if verdict != want:
+            wrong.append(f"{name}: got {verdict}, want {want}")
+    assert not wrong, "\n".join(wrong)
 
 
 @pytest.mark.parametrize("snippet,frag", [

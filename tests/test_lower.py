@@ -217,13 +217,12 @@ class TestFeasibility:
         against the r2 regression where the ITEMS dispatch became dead
         code and the loop silently no-opped (bc.gm's seed loop)."""
         g, _, _ = graph
+        # seeds arrive as a Node_Seq argument (bc.gm's signature) —
+        # PushBack(<int literal>) is a builtin arg-type error in the
+        # reference frontend too (same class as test/errors/e30)
         src_text = """
-        Procedure items_loop(G: Graph, A: N_P<Int>) : Int {
-            Node_Seq S;
+        Procedure items_loop(G: Graph, A: N_P<Int>, S: Node_Seq) : Int {
             Int total = 0;
-            S.PushBack(1);
-            S.PushBack(3);
-            S.PushBack(5);
             For (v: S.Items) {
                 v.A = 7;
                 total = total + 1;
@@ -231,7 +230,7 @@ class TestFeasibility:
             Return total;
         }
         """
-        out = compile_source(src_text)(g)
+        out = compile_source(src_text)(g, S=[1, 3, 5])
         assert int(out["_return"]) == 3
         a = np.asarray(out["A"])[:g.num_nodes]
         assert a[1] == 7 and a[3] == 7 and a[5] == 7

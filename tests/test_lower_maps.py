@@ -41,24 +41,26 @@ def _quiet_compile(path, **kw):
 
 def test_dense_map_basics(graph):
     g, _ = graph
+    # node keys arrive as Node arguments — int literals as map keys are
+    # a frontend error (test/errors/e65), matching the reference
     src_text = """
-    Procedure mtest(G: Graph) : Int {
+    Procedure mtest(G: Graph, a, b, c: Node) : Int {
         Map<Node, Int> M;
-        M[3] = 7;
-        M[5] = 2;
-        M[9] = 11;
-        M[5] += 4;           // 2+4=6
-        M.Remove(9);
+        M[a] = 7;
+        M[b] = 2;
+        M[c] = 11;
+        M[b] += 4;           // 2+4=6
+        M.Remove(c);
         Int sz = M.Size();   // 2
         Node k = M.GetMinKey();   // key of min value: 5 (6 < 7)
         Node kx = M.GetMaxKey();  // 3
-        If (!M.HasKey(9) && M.HasMaxValue(3) && M.HasMinValue(5)) {
+        If (!M.HasKey(c) && M.HasMaxValue(a) && M.HasMinValue(b)) {
             Return sz * 100 + (Int) k * 10 + (Int) kx;
         }
         Return -1;
     }
     """
-    got = int(compile_source(src_text)(g)["_return"])
+    got = int(compile_source(src_text)(g, a=3, b=5, c=9)["_return"])
     assert got == 2 * 100 + 5 * 10 + 3
 
 
@@ -342,7 +344,7 @@ def test_masked_while_monotonic_exit(graph):
         Foreach(n: G.Nodes) {
             While (n.tok > 0) {
                 n.iters += 1;
-                n.tok = n.tok - 1;
+                n.tok += -1;
                 Foreach(m: n.Nbrs) { m.tok += 1; }
             }
         }
