@@ -376,10 +376,13 @@ def make_scc(name="kosaraju") -> UserMain:
     m.declare_property("mem", bio.GMTYPE_NODE, False, True, GM_NODEPROP)
 
     def run(ctx: RunContext) -> Dict:
-        if name == "tarjan_scc":
+        if name == "tarjan_scc" and ctx.graph.num_nodes <= 100_000:
             # the reference tarjan_scc.gm is NOT exact Tarjan (its
             # post-visit LowLink fold reads popped neighbors); run the
-            # DSL program literally so output matches the reference app
+            # DSL program literally so output matches the reference app.
+            # Beyond the host-DFS scale cap the device forward-backward
+            # SCC below takes over (identical partition, normalized ids
+            # — documented deviation, like kosaraju's routing).
             import os
             import warnings as _w
             path = "/root/reference/apps/src/tarjan_scc.gm"
@@ -596,8 +599,225 @@ def make_multi_bfs() -> UserMain:
     return m
 
 
+def make_adamic_adar() -> UserMain:
+    m = UserMain("adamicAdar", "Adamic-Adar edge scores "
+                 "(adamicAdar_main.cc: '%d-> %5.5f' lines)")
+    m.declare_property("aa", bio.GMTYPE_DOUBLE, False, True, GM_EDGEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        import warnings as _w
+        from ..lang.lower import compile_file
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            out = compile_file(
+                "/root/reference/apps/src/adamicAdar.gm")(ctx.graph)
+        aa = np.asarray(out["aa"])[: ctx.graph.num_edges]
+        for i in range(min(10, aa.shape[0])):     # reference prints all
+            print(f"{i}-> {aa[i]:5.5f}")
+        return {"aa": np.asarray(out["aa"])}
+
+    m.set_run(run)
+    return m
+
+
+def make_b2() -> UserMain:
+    m = UserMain("b2", "DFS pre/post-order smoke (b2_main.cc: timing "
+                 "only)")
+    m.declare_scalar("root", bio.GMTYPE_NODE, True, False, default=0)
+    m.declare_property("A", bio.GMTYPE_INT, False, True, GM_NODEPROP)
+    m.declare_property("B", bio.GMTYPE_INT, False, True, GM_NODEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        import warnings as _w
+        from ..lang.lower import compile_file
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            out = compile_file("/root/reference/apps/src/b2.gm")(
+                ctx.graph, s=_rng_root(ctx))
+        outs = {}
+        for k in ("A", "B"):
+            if k in out:
+                outs[k] = np.asarray(out[k])
+        return outs
+
+    m.set_run(run)
+    return m
+
+
+def make_bc_variant(name: str) -> UserMain:
+    """bc_adj (adjacency-list input) / bc_random (xorshift seeds) —
+    same kernel as bc, different loader default / seed policy."""
+    m = UserMain(name, f"Betweenness centrality ({name}_main.cc)")
+    m.declare_scalar("num_seeds", bio.GMTYPE_INT, True, False, default=4)
+    m.declare_property("BC", bio.GMTYPE_FLOAT, False, True, GM_NODEPROP,
+                       dump_count=4)   # prints BC[0..3]
+    if name == "bc_adj":
+        # adjacency-list input is this main's native format
+        m.O.add_option("GMInputFormat", str, "ADJ",
+                       "input format (default ADJ for this main)")
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+
+        from ..models.bc import bc
+        g = ctx.graph
+        k = int(ctx.scalars["num_seeds"])
+        if name == "bc_random":
+            # deterministic xorshift stream (gm_rand), like the
+            # reference's rand-seeded variant but reproducible
+            from ..utils.gm_rand import GmRand32
+            seeds = jnp.asarray(
+                GmRand32().sequence(k) % np.uint64(g.num_nodes),
+                jnp.int32)
+        else:
+            seeds = jnp.asarray(np.arange(k) % g.num_nodes, jnp.int32)
+        res = bc(g, seeds)
+        return {"BC": np.asarray(res.bc)}
+
+    m.set_run(run)
+    return m
+
+
+def make_bidir_dijkstra() -> UserMain:
+    m = UserMain("bidir_dijkstra", "Bidirectional Dijkstra "
+                 "(bidir_dijkstra_main.cc: 'weight .. path=' line)")
+    m.declare_scalar("src", bio.GMTYPE_NODE, True, False, default=0)
+    m.declare_scalar("dst", bio.GMTYPE_NODE, True, False, default=1)
+    m.declare_property("Weight", bio.GMTYPE_INT, True, False,
+                       GM_EDGEPROP)
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+        g = ctx.graph
+        w = np.zeros(g.e_pad, np.int32)
+        if "Weight" not in ctx.edge_props:
+            from ..utils.gm_rand import sssp_edge_lengths
+            ctx.edge_props["Weight"] = sssp_edge_lengths(g.num_edges)
+        w[: g.num_edges] = np.asarray(ctx.edge_props["Weight"])
+        s = int(ctx.scalars["src"])
+        t = int(ctx.scalars["dst"])
+        if g.num_nodes <= 100_000:
+            # literal DSL program (host-eager priority maps)
+            import warnings as _w
+            from ..lang.lower import compile_file
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                out = compile_file(
+                    "/root/reference/apps/src/bidir_dijkstra.gm")(
+                        g, Weight=w, src=s, dst=t)
+            found = bool(out["_return"])
+            par = np.asarray(out["Parent"])[: g.num_nodes]
+            pare = np.asarray(out["ParentEdge"])[: g.num_nodes]
+        else:
+            # scale path: forward+reverse device Bellman-Ford, meet at
+            # the min-total node, stitch parent chains (documented
+            # deviation: tie-breaking)
+            from ..models.sssp_path import sssp_path
+            gt, _ = __import__(
+                "green_marl_tpu.graph.csr", fromlist=["from_edges"]
+            ).from_edges(np.asarray(g.node_idx)[: g.num_edges],
+                         np.asarray(g.node_idx_src)[: g.num_edges],
+                         g.num_nodes)
+            wv = jnp.asarray(w)
+            rf = sssp_path(g, s, wv)
+            wr = np.zeros(gt.e_pad, np.int32)
+            wr[: g.num_edges] = np.asarray(
+                w[: g.num_edges])[np.asarray(g.e_rev2idx)[: g.num_edges]]
+            rb = sssp_path(gt, t, jnp.asarray(wr))
+            BIG = np.int64(np.iinfo(np.int32).max)
+            df = np.asarray(rf.dist)[: g.num_nodes].astype(np.int64)
+            db_ = np.asarray(rb.dist)[: g.num_nodes].astype(np.int64)
+            tot = np.where((df < BIG) & (db_ < BIG), df + db_, BIG)
+            mid = int(np.argmin(tot))
+            found = bool(tot[mid] < BIG)
+            par = np.full(g.num_nodes, -1, np.int64)
+            pare = np.full(g.num_nodes, -1, np.int64)
+            if found:
+                pf = np.asarray(rf.prev)[: g.num_nodes]
+                pb = np.asarray(rb.prev)[: g.num_nodes]
+                cur = mid
+                while cur != s and pf[cur] >= 0:
+                    par[cur] = pf[cur]
+                    cur = int(pf[cur])
+                cur = mid
+                while cur != t and pb[cur] >= 0:
+                    par[int(pb[cur])] = cur
+                    cur = int(pb[cur])
+        if not found:
+            print("weight %4d ,hops %3d, time %7.2f path=%s"
+                  % (0, -1, 0.0, "NO_PATH_EXISTS"))
+            return {}
+        # walk dst -> src through Parent, print src -> dst order
+        path = [t]
+        seen = set()
+        cur = t
+        while cur != s and par[cur] >= 0 and cur not in seen:
+            seen.add(cur)
+            cur = int(par[cur])
+            path.append(cur)
+        path.reverse()
+        ecost = {}
+        s_ = np.asarray(g.node_idx_src)[: g.num_edges]
+        d_ = np.asarray(g.node_idx)[: g.num_edges]
+        for i in range(g.num_edges):
+            k2 = (int(s_[i]), int(d_[i]))
+            ecost[k2] = min(ecost.get(k2, 1 << 30), int(w[i]))
+        weight = sum(ecost.get((a, b), 0)
+                     for a, b in zip(path[:-1], path[1:]))
+        print("weight %4d ,hops %3d, time %7.2f path="
+              % (weight, len(path), 0.0)
+              + "".join(f"v{n}=>" for n in path))
+        return {}
+
+    m.set_run(run)
+    return m
+
+
+def make_sssp_path_adj() -> UserMain:
+    m = UserMain("sssp_path_adj", "SSSP path, adjacency-list input "
+                 "(sssp_path_adj_main.cc protocol)")
+    m.declare_scalar("begin", bio.GMTYPE_NODE, True, False, default=0)
+    m.declare_scalar("end", bio.GMTYPE_NODE, True, False, default=1)
+    m.declare_property("len", bio.GMTYPE_INT, True, False, GM_EDGEPROP)
+    # adjacency-list input is this main's native format
+    m.O.add_option("GMInputFormat", str, "ADJ",
+                   "input format (default ADJ for this main)")
+
+    def run(ctx: RunContext) -> Dict:
+        import jax.numpy as jnp
+
+        from ..models.sssp_path import get_path, sssp_path
+        g = ctx.graph
+        w = np.zeros(g.e_pad, np.int32)
+        if "len" not in ctx.edge_props:
+            from ..utils.gm_rand import sssp_edge_lengths
+            ctx.edge_props["len"] = sssp_edge_lengths(g.num_edges)
+        w[: g.num_edges] = np.asarray(ctx.edge_props["len"])
+        b = int(ctx.scalars["begin"])
+        e = int(ctx.scalars["end"])
+        res = sssp_path(g, b, jnp.asarray(w))
+        path = get_path(np.asarray(res.prev), b, e)
+        if not path:
+            print("PATH NOT FOUND")
+            return {}
+        print(f"{b} -> {e}")
+        dist = np.asarray(res.dist)[: g.num_nodes]
+        print(f"    Costs are {float(dist[e]):f}")
+        print(f"    Number of links is {max(len(path) - 1, 0)}")
+        return {}
+
+    m.set_run(run)
+    return m
+
+
 APPS = {
     "pagerank": make_pagerank,
+    "adamicAdar": make_adamic_adar,
+    "b2": make_b2,
+    "bc_adj": lambda: make_bc_variant("bc_adj"),
+    "bc_random": lambda: make_bc_variant("bc_random"),
+    "bidir_dijkstra": make_bidir_dijkstra,
+    "sssp_path_adj": make_sssp_path_adj,
     "multi_bfs": make_multi_bfs,
     "hop_dist": make_hop_dist,
     "sssp": make_sssp,

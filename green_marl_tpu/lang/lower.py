@@ -2120,10 +2120,16 @@ class Lowerer:
             # (gm_cpp_opt_select_par.cc).
             return self._exec_while_eager(s, env)
         if self._uses_map(s.body) or self._uses_map(s.cond):
-            # Map-driven loops (priority-map Dijkstra class,
-            # bidir_dijkstra.gm) are inherently sequential in the
-            # reference (gm_mutatable_priority_map is not thread-safe);
-            # run them host-eager: the traced both-branch If merge would
+            # Priority-map loops (Dijkstra class): the canonical
+            # pop-min/relax idiom lowers to device Bellman-Ford
+            # supersteps (lower_priority — the delta-stepping
+            # reformulation, removing the 100k host-eager scale cap).
+            from .lower_priority import try_priority_while
+            if try_priority_while(self, s, env):
+                return
+            # Otherwise: inherently sequential in the reference
+            # (gm_mutatable_priority_map is not thread-safe); run
+            # host-eager — the traced both-branch If merge would
             # evaluate GetMinKey on empty maps and push garbage through
             # masked-write chains.
             return self._exec_while_eager(s, env)

@@ -154,3 +154,35 @@ def test_gmprofile_superstep_lines(tmp_path, capsys):
     cap = capsys.readouterr()
     assert any(line.startswith("superstep[")
                for line in cap.out.splitlines())
+
+
+def test_new_reference_mains_run(tmp_path, capsys):
+    """The 6 reference mains added in round 4 (VERDICT item 7):
+    adamicAdar, b2, bc_adj, bc_random, bidir_dijkstra, sssp_path_adj —
+    each runs its protocol end-to-end (27 mains total now)."""
+    import numpy as np
+    from green_marl_tpu.cli.apps import APPS, main
+    from green_marl_tpu.graph import binary_io as bio
+    from green_marl_tpu.graph import generate as gen
+    from green_marl_tpu.graph.csr import from_edges
+    src, dst = gen.rmat_edges(300, 2000, seed=5)
+    g, _ = from_edges(src, dst, 300)
+    p = str(tmp_path / "t.bin")
+    bio.store_binary(p, np.asarray(g.begin),
+                     np.asarray(g.node_idx)[: g.num_edges])
+    cases = [
+        ("adamicAdar", [], "0-> "),
+        ("b2", [], "A[0]"),
+        ("bc_adj", ["-GMInputFormat=BIN"], "BC[0]"),
+        ("bc_random", [], "BC[0]"),
+        ("bidir_dijkstra", ["-src=1", "-dst=7"], "weight"),
+        ("sssp_path_adj", ["-GMInputFormat=BIN", "-begin=1", "-end=7"],
+         "1 -> 7"),
+    ]
+    for app, extra, frag in cases:
+        assert app in APPS
+        rc = main([app] + extra + [p])
+        out = capsys.readouterr().out
+        assert rc == 0, app
+        assert frag in out, (app, out[-400:])
+    assert len(APPS) >= 27
