@@ -162,8 +162,15 @@ def main():
     fetch_base = (time.time() - t0) / 5
 
     # --- device transfer (bulk device_put, reported separately) -------
+    # Round-4 compression (verdict item 6): the three big node-id arrays
+    # ship 24-bit packed (25% fewer bytes through the ~16-25 MB/s
+    # tunnel); csc_dst is DERIVED on device from r_begin; e_rev2idx and
+    # node_idx_src are unused by the bench paths and stay dummy.
+    import dataclasses as _dc
+
+    from green_marl_tpu.utils import pack
     t0 = time.time()
-    bp = binned.device_put_lite(bp_host)
+    bp = binned.device_put_lite(bp_host, slot_src_packed=True)
     deg_rows = jax.device_put(arrs["deg_rows"])
     e_pad = int(arrs["csc_src"].shape[0])
     from green_marl_tpu.graph.csr import round_up
@@ -175,21 +182,22 @@ def main():
         return out
 
     sent = np.int32(N)
-    # lite Graph: node_idx_src unused by the single-instance paths —
-    # dummy to avoid 276MB of dead transfer
+    r_begin_d = jax.device_put(arrs["r_begin"])
     g = Graph(
         begin=jax.device_put(arrs["begin"]),
-        node_idx=jax.device_put(padded(arrs["csr_dst"], sent)),
+        node_idx=pack.put_packed(padded(arrs["csr_dst"], sent)),
         node_idx_src=jax.device_put(np.zeros(e_pad_r, np.int32)),
-        r_begin=jax.device_put(arrs["r_begin"]),
-        r_node_idx=jax.device_put(padded(arrs["csc_src"], sent)),
-        r_node_idx_dst=jax.device_put(padded(arrs["csc_dst"], sent)),
-        e_rev2idx=jax.device_put(padded(arrs["e_rev2idx"], np.int32(0))),
+        r_begin=r_begin_d,
+        r_node_idx=pack.put_packed(padded(arrs["csc_src"], sent)),
+        r_node_idx_dst=pack.csc_dst_from_offsets(
+            r_begin_d, e_pad_r, E, N),
+        e_rev2idx=jax.device_put(np.zeros(e_pad_r, np.int32)),
         num_nodes=N, num_edges=E)
     jax.block_until_ready(g.begin)
-    moved = (bp.slot_src.size + deg_rows.size + g.begin.size * 2
-             + g.node_idx.size * 4) * 4 / 1e6
-    log(f"# transfer ~{moved:.0f}MB in {time.time()-t0:.1f}s")
+    moved = (3 * (bp.slot_src.size + 2 * g.node_idx.size) // 4
+             + deg_rows.size + g.begin.size * 2) * 4 / 1e6
+    log(f"# transfer ~{moved:.0f}MB (24-bit packed, csc_dst derived "
+        f"on-device) in {time.time()-t0:.1f}s")
 
     out_deg = arrs["out_deg"].astype(np.int64)
     order = np.argsort(out_deg)[::-1]

@@ -316,13 +316,29 @@ def load_avro(path: str):
             raise ValueError("sync marker mismatch")
         r.pos += 16
 
-    nprops = [np.asarray(v, _PRIM_NP[t])
-              for v, t in zip(nvals, nprop_types)]
-    eprops = [np.asarray(v, _PRIM_NP[t])
-              for v, t in zip(evals, eprop_types)]
+    def finalize(vals, t):
+        # a null union branch takes the avro default (0/False) instead
+        # of poisoning np.asarray with None (advisor r3)
+        default = False if t == "boolean" else 0
+        return np.asarray([default if v is None else v for v in vals],
+                          _PRIM_NP[t])
+
+    nprops = [finalize(v, t) for v, t in zip(nvals, nprop_types)]
+    eprops = [finalize(v, t) for v, t in zip(evals, eprop_types)]
     # one record per node: the record count IS the node count (isolated
     # high-id nodes would otherwise be lost by max-endpoint inference)
     num_nodes = max(len(node_ids),
                     int(max(node_ids, default=-1)) + 1)
+    # records may arrive in any node-id order: re-align node property
+    # rows with their ids (advisor r3: out-of-order files silently
+    # misaligned properties)
+    ids = np.asarray(node_ids, np.int64)
+    if nprops and ids.size and not (np.diff(ids) > 0).all():
+        aligned = []
+        for arr in nprops:
+            out = np.zeros(num_nodes, arr.dtype)
+            out[ids] = arr
+            aligned.append(out)
+        nprops = aligned
     return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
             nprops, eprops, nprop_types, eprop_types, num_nodes)

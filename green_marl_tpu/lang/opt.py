@@ -831,7 +831,37 @@ def _stmt_rw(s: A.Stmt):
                 # set-valued property mutators: v.S.Add(w) writes $S
                 writes.add("$" + st.call.driver_field.prop)
                 reads.add(st.call.driver_field.driver)
+        # EXPRESSION-position collection mutators also write their
+        # driver (``x = Q.PopBack()`` as an Assign rhs / VarDecl init):
+        # without this, hoist_foreach/hoist_assign could reorder a
+        # Foreach reading Q across the pop (advisor r3, medium)
+        for e in _walk_exprs_of(st):
+            for sub in _walk_subexprs(e):
+                if isinstance(sub, A.Builtin) and \
+                        sub.name.lower() in _MUTATE_METHODS:
+                    if sub.driver is not None:
+                        writes.add(sub.driver)
+                    if sub.driver_field is not None:
+                        writes.add("$" + sub.driver_field.prop)
     return reads, writes
+
+
+_MUTATE_METHODS = {"add", "remove", "clear", "pushback", "pushfront",
+                   "popback", "popfront", "push", "pop", "union",
+                   "intersect", "complement"}
+
+
+def _walk_subexprs(e):
+    if not isinstance(e, A.Expr):
+        return
+    yield e
+    for attr in ("lhs", "rhs", "operand", "cond", "then", "els", "body",
+                 "filter", "key"):
+        sub = getattr(e, attr, None)
+        if isinstance(sub, A.Expr):
+            yield from _walk_subexprs(sub)
+    for sub in getattr(e, "args", []) or []:
+        yield from _walk_subexprs(sub)
 
 
 def _hoist_conflict(a: A.Stmt, b: A.Stmt) -> bool:

@@ -374,17 +374,29 @@ def from_arrays(d) -> BinnedPull:
         w_max=meta[6])
 
 
-def device_put_lite(bp: BinnedPull, with_edges: bool = False):
+def device_put_lite(bp: BinnedPull, with_edges: bool = False,
+                    slot_src_packed: bool = False):
     """Move the schedule to the device, skipping ``slot_edge`` (needed
     only for edge-weighted maps) unless requested — it is as large as
-    ``slot_src`` and pure transfer cost otherwise."""
+    ``slot_src`` and pure transfer cost otherwise.  The skip leaves an
+    EMPTY sentinel so an edge-weighted map on a lite schedule fails
+    loudly in ``edge_slot_vals`` instead of gathering garbage.
+    ``slot_src_packed`` ships slot_src 24-bit packed through the tunnel
+    (25% fewer bytes; requires n_rows < 2^24)."""
     se = (np.asarray(bp.slot_edge) if with_edges
-          else np.zeros(8, np.int32))
-    return jax.device_put(dataclasses.replace(
+          else np.zeros(0, np.int32))
+    ss = np.asarray(bp.slot_src)
+    dev = jax.device_put(dataclasses.replace(
         bp,
-        slot_src=np.asarray(bp.slot_src), slot_edge=se,
+        slot_src=np.zeros(0, np.int32), slot_edge=se,
         hub_owner=np.asarray(bp.hub_owner),
         perm=np.asarray(bp.perm), inv_perm=np.asarray(bp.inv_perm)))
+    if slot_src_packed:
+        from ..utils.pack import put_packed
+        ss_d = put_packed(ss)
+    else:
+        ss_d = jax.device_put(ss)
+    return dataclasses.replace(dev, slot_src=ss_d)
 
 
 def edge_slot_vals(bp: BinnedPull, edge_vals: jax.Array,
@@ -392,6 +404,11 @@ def edge_slot_vals(bp: BinnedPull, edge_vals: jax.Array,
     """Lay an [e_pad(+1)]-indexed edge property out in slot order
     ([S_tot]).  Build once per run (static layout); the gather here is
     the slow XLA elementwise gather, so keep it out of superstep loops."""
+    if bp.slot_edge.shape[0] != bp.slot_src.shape[0]:
+        raise ValueError(
+            "edge values requested on a 'lite' schedule (slot_edge was "
+            "skipped at transfer); rebuild with "
+            "device_put_lite(bp, with_edges=True)")
     ev = jnp.concatenate(
         [edge_vals, jnp.full((1,), pad_val, edge_vals.dtype)])
     idx = jnp.minimum(bp.slot_edge, edge_vals.shape[0])

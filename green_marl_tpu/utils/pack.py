@@ -1,0 +1,69 @@
+"""24-bit transfer packing for node-id arrays.
+
+The axon tunnel moves ~16-25 MB/s, so bulk int32 arrays whose values fit
+24 bits (node ids, binned row ids — anything < 16.7M) ship 25% smaller:
+4 values pack into 3 uint32 words on the host, one cheap vectorized
+unpack runs on device.  Used by bench.py's transfer stage (round-3
+verdict item 6: prep+transfer was 92 s for ~1.5 GB).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX24 = (1 << 24) - 1
+
+
+def pack24(a: np.ndarray) -> np.ndarray:
+    """[n] nonneg ints < 2^24  ->  [ceil(n/4)*3] uint32 words."""
+    a = np.asarray(a)
+    assert a.min(initial=0) >= 0 and a.max(initial=0) <= MAX24, \
+        "pack24 range"
+    n = a.shape[0]
+    m = (n + 3) // 4
+    v = np.zeros(m * 4, np.uint32)
+    v[:n] = a.astype(np.uint32)
+    v = v.reshape(m, 4)
+    w = np.empty((m, 3), np.uint32)
+    w[:, 0] = v[:, 0] | (v[:, 1] << 24)
+    w[:, 1] = (v[:, 1] >> 8) | (v[:, 2] << 16)
+    w[:, 2] = (v[:, 2] >> 16) | (v[:, 3] << 8)
+    return w.reshape(-1)
+
+
+def unpack24(w: jax.Array, n: int) -> jax.Array:
+    """Device-side inverse of :func:`pack24` -> [n] int32."""
+    m = w.shape[0] // 3
+    w = w.reshape(m, 3)
+    v0 = w[:, 0] & MAX24
+    v1 = ((w[:, 0] >> 24) | (w[:, 1] << 8)) & MAX24
+    v2 = ((w[:, 1] >> 16) | (w[:, 2] << 16)) & MAX24
+    v3 = (w[:, 2] >> 8) & MAX24
+    out = jnp.stack([v0, v1, v2, v3], axis=1).reshape(-1)
+    return out[:n].astype(jnp.int32)
+
+
+def put_packed(a: np.ndarray, n: int | None = None) -> jax.Array:
+    """Host->device transfer through the packed representation."""
+    if n is None:
+        n = int(np.asarray(a).shape[0])
+    w = jax.device_put(pack24(a))
+    return jax.jit(unpack24, static_argnames=("n",))(w, n)
+
+
+def csc_dst_from_offsets(r_begin: jax.Array, e_pad: int,
+                         num_edges: int, sentinel: int) -> jax.Array:
+    """Derive the CSC destination-per-slot array on DEVICE from the
+    offsets alone (``repeat(arange(N), indeg)``) — saves shipping an
+    O(E) array through the tunnel.  Pads get ``sentinel``."""
+    n = r_begin.shape[0] - 1
+    marks = jnp.zeros((e_pad,), jnp.int32).at[
+        jnp.clip(r_begin[1:], 0, e_pad - 1)].add(
+        jnp.where(r_begin[1:] < e_pad, 1, 0).astype(jnp.int32))
+    dst = jnp.cumsum(marks)
+    slots = jnp.arange(e_pad, dtype=jnp.int32)
+    return jnp.where(slots < num_edges,
+                     jnp.minimum(dst, n - 1).astype(jnp.int32),
+                     jnp.asarray(sentinel, jnp.int32))

@@ -249,3 +249,25 @@ def test_gm_rand32_matches_reference_sequence():
     np.testing.assert_array_equal(
         sssp_edge_lengths(8), [50, 83, 79, 83, 59, 64, 42, 27])
     assert c_mod(np.array([-7]), 5)[0] == -2   # C truncating %
+
+
+def test_pack24_roundtrip_and_csc_derivation():
+    """Transfer packing (utils.pack): 24-bit round-trip plus the
+    device-side CSC destination derivation that replaces an O(E)
+    tunnel transfer (bench.py)."""
+    import jax.numpy as jnp
+    from green_marl_tpu.graph import generate as gen
+    from green_marl_tpu.graph.csr import from_edges
+    from green_marl_tpu.utils import pack
+
+    rng = np.random.default_rng(0)
+    for n in (1, 5, 8, 1000):
+        a = rng.integers(0, 1 << 24, n).astype(np.int64)
+        got = np.asarray(pack.unpack24(jnp.asarray(pack.pack24(a)), n))
+        np.testing.assert_array_equal(got, a)
+
+    src, dst = gen.rmat_edges(500, 4000, seed=11)
+    g, _ = from_edges(src, dst, 500)
+    got = np.asarray(pack.csc_dst_from_offsets(
+        g.r_begin, g.e_pad, g.num_edges, g.num_nodes))
+    np.testing.assert_array_equal(got, np.asarray(g.r_node_idx_dst))

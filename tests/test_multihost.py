@@ -27,7 +27,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_pagerank_matches_single_host():
     port = _free_port()
     env = dict(os.environ)

@@ -11,7 +11,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBIN = os.path.join(REPO, ".refbuild", "apps", "output_cpp", "bin")
 
 
-@pytest.mark.timeout(900)
 def test_parity_all_apps():
     if not os.path.exists(os.path.join(REFBIN, "pagerank")):
         pytest.skip("reference binaries not built "
