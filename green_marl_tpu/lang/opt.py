@@ -953,9 +953,18 @@ def hoist_assign(proc: A.Procedure) -> A.Procedure:
     return proc
 
 
+def dead_store_elim(proc: A.Procedure) -> A.Procedure:
+    """Reaching-defs consumer (``gm_reaching_def_analysis.cc`` analog):
+    drops full definitions killed before any use, un-blocking
+    hoist/merge across the removed store (lang.reaching_defs)."""
+    from .reaching_defs import dead_store_elim as _dse
+    return _dse(proc)
+
+
 DEFAULT_PASSES: List[Tuple[str, Callable[[A.Procedure], A.Procedure]]] = [
     ("sugar2", sugar2),
     ("move_propdecl", move_propdecl),
+    ("dead_store_elim", dead_store_elim),
     ("hoist_assign", hoist_assign),
     ("hoist_foreach", hoist_foreach),
     ("loop_merge", loop_merge),

@@ -185,16 +185,21 @@ def _anchor_samples(cum64: np.ndarray, num_wedges: int) -> np.ndarray:
     return s, max(1, span.bit_length()) + 1
 
 
-@partial(jax.jit, static_argnames=("num_wedges", "chunk", "bits",
-                                   "span_bits"))
-def _count_wedges(dag_begin, dag_dst, pair_cum, samples,
-                  num_wedges: int, chunk: int, bits: int,
-                  span_bits: int) -> jax.Array:
-    """Sum over all wedges of [c in N+(b)]; flat wedge ids -> (slot, offset)
-    via the sampled anchor index + a 9-step bounded search, then
-    membership by binary search in row b."""
+# wedges per device dispatch: long-running single dispatches (~40 s+)
+# crash the tunnel's TPU worker, so the driver loops fixed windows with
+# a TRACED offset/limit — one compile total, ~5-15 s per dispatch
+_DISPATCH_W = 1 << 24
+
+
+@partial(jax.jit, static_argnames=("chunk", "bits", "span_bits"))
+def _count_wedges(dag_begin, dag_dst, pair_cum, samples, k0, n_limit,
+                  chunk: int, bits: int, span_bits: int) -> jax.Array:
+    """Sum over wedge ids [k0, min(k0 + _DISPATCH_W, n_limit)) of
+    [c in N+(b)]; flat wedge ids -> (slot, offset) via the sampled
+    anchor index + a bounded window search, then membership by binary
+    search in row b."""
     n = dag_begin.shape[0] - 1
-    num_chunks = (num_wedges + chunk - 1) // chunk
+    num_chunks = _DISPATCH_W // chunk
     # ``bits`` = search depth: log2(max DAG row length), passed in by the
     # caller — degree orientation bounds rows at ~sqrt(E), so this is
     # ~14 HBM gathers per wedge instead of log2(N)+1 (~24)
@@ -217,9 +222,9 @@ def _count_wedges(dag_begin, dag_dst, pair_cum, samples,
             (dag_dst[jnp.clip(lo, 0, dag_dst.shape[0] - 1)] == c)
 
     def do_chunk(ci, acc):
-        k = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        valid = k < num_wedges
-        kk = jnp.minimum(k, num_wedges - 1)
+        k = k0 + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        valid = k < n_limit
+        kk = jnp.minimum(k, n_limit - 1)
         # anchor slot i: largest i with pair_cum[i] <= kk — bounded
         # search inside the sampled window [samples[m], samples[m+1]]
         m = kk // _ANCHOR_STRIDE
@@ -294,9 +299,24 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
     bits = max(1, int(deg.max(initial=1)).bit_length()) + 1
     total = 0
     for lo, sub, samples, span_bits in _wedge_subranges(ctx):
-        chunk_s = min(chunk, round_up(sub.num_wedges))
-        t = _count_wedges(sub.dag_begin, sub.dag_dst, sub.pair_cum,
-                          samples, sub.num_wedges, chunk_s, bits,
+        total += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
+                            samples, sub.num_wedges, chunk, bits,
+                            span_bits)
+    return total
+
+
+def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
+               bits: int, span_bits: int) -> int:
+    """Drive the fixed-window kernel over one (sub)range: many short
+    dispatches, one compile."""
+    chunk = min(chunk, _DISPATCH_W)
+    while _DISPATCH_W % chunk:
+        chunk //= 2
+    nl = jnp.asarray(num_wedges, jnp.int32)
+    total = 0
+    for k0 in range(0, num_wedges, _DISPATCH_W):
+        t = _count_wedges(db, dd, pc, samples,
+                          jnp.asarray(k0, jnp.int32), nl, chunk, bits,
                           span_bits)
         total += limb_value(t)
     return total

@@ -310,3 +310,114 @@ def test_hoist_respects_iterator_source_and_field_mutators():
     typecheck(procs2)
     out2 = reproduce(opt.optimize(procs2[0]))
     assert out2.index("Remove") < out2.index("Foreach")
+
+
+class TestReachingDefs:
+    """Reaching-defs + dead-store elimination (VERDICT r3 item 9:
+    gm_reaching_def_analysis.cc analog as a real pass)."""
+
+    def _count_loops(self, proc):
+        from green_marl_tpu.lang import gm_ast as A
+        n = 0
+
+        def walk(s):
+            nonlocal n
+            if isinstance(s, A.Foreach):
+                n += 1
+            for attr in ("stmts", "then", "els", "body"):
+                sub = getattr(s, attr, None)
+                if isinstance(sub, list):
+                    for x in sub:
+                        walk(x)
+                elif sub is not None and isinstance(sub, A.Stmt):
+                    walk(sub)
+        walk(proc.body)
+        return n
+
+    def test_dead_group_store_removed(self):
+        from green_marl_tpu.lang import opt
+        from green_marl_tpu.lang.parser import parse
+        from green_marl_tpu.lang.typecheck import typecheck
+        src = """
+        Proc p(G: Graph, A: N_P<Int>, B: N_P<Int>) {
+            G.A = 0;
+            Foreach(n: G.Nodes) { n.A = n.B + 1; }
+        }
+        """
+        procs = parse(src)
+        typecheck(procs)
+        p = opt.optimize(procs[0], clone=True)
+        from green_marl_tpu.lang import gm_ast as A_
+        tops = p.body.stmts
+        assert not any(isinstance(s, A_.Assign) and
+                       isinstance(s.lhs, A_.Field) and
+                       s.lhs.driver == "G" for s in tops), \
+            "dead G.A = 0 should be eliminated"
+
+    def test_filtered_overwrite_keeps_store(self):
+        from green_marl_tpu.lang import opt
+        from green_marl_tpu.lang import gm_ast as A_
+        from green_marl_tpu.lang.parser import parse
+        from green_marl_tpu.lang.typecheck import typecheck
+        src = """
+        Proc p(G: Graph, A: N_P<Int>, B: N_P<Int>) {
+            G.A = 0;
+            Foreach(n: G.Nodes)(n.B > 0) { n.A = n.B + 1; }
+        }
+        """
+        procs = parse(src)
+        typecheck(procs)
+        p = opt.optimize(procs[0], clone=True)
+        tops = p.body.stmts
+        assert any(isinstance(s, A_.Assign) and
+                   isinstance(s.lhs, A_.Field) and
+                   s.lhs.driver == "G" for s in tops), \
+            "filtered overwrite must NOT kill the init"
+
+    def test_merge_enabled_only_by_reaching_defs(self):
+        """Two loops separated by a dead store of a property BOTH write:
+        the flat RW sets can never reorder across it; removing it via
+        reaching-defs lets loop_merge fuse them."""
+        from green_marl_tpu.lang import opt
+        from green_marl_tpu.lang.parser import parse
+        from green_marl_tpu.lang.typecheck import typecheck
+        src = """
+        Proc p(G: Graph, A: N_P<Int>, B: N_P<Int>, C: N_P<Int>) {
+            Foreach(n: G.Nodes) { n.A = n.C + 1; }
+            G.B = 0;
+            Foreach(m: G.Nodes) { m.B = m.A + 2; }
+        }
+        """
+        procs = parse(src)
+        typecheck(procs)
+        # without dead_store_elim: the G.B store blocks hoisting (both
+        # write $B) and the loops stay separate
+        passes = [(n, f) for n, f in opt.DEFAULT_PASSES
+                  if n != "dead_store_elim"]
+        p0 = opt.optimize(procs[0], passes=[n for n, _ in passes],
+                          clone=True)
+        assert self._count_loops(p0) == 2
+        # with it: the store dies, the loops become adjacent and merge
+        p1 = opt.optimize(procs[0], clone=True)
+        assert self._count_loops(p1) == 1
+
+    def test_scalar_dead_store(self):
+        from green_marl_tpu.lang import gm_ast as A_
+        from green_marl_tpu.lang import opt
+        from green_marl_tpu.lang.parser import parse
+        from green_marl_tpu.lang.typecheck import typecheck
+        src = """
+        Proc p(G: Graph) : Int {
+            Int x;
+            x = 3;
+            x = 5;
+            Return x;
+        }
+        """
+        procs = parse(src)
+        typecheck(procs)
+        p = opt.optimize(procs[0], clone=True)
+        assigns = [s for s in p.body.stmts
+                   if isinstance(s, A_.Assign)]
+        vals = [int(s.rhs.value) for s in assigns]
+        assert 3 not in vals and 5 in vals
