@@ -115,7 +115,9 @@ def triangle_lj(arrs):
     covered = 0
     t0 = time.time()
     s0 = 0
-    LIMIT = T._SUBRANGE_LIMIT
+    # slice finer than the int32 bound so the budget check between
+    # slices actually gets a say (~85 s per 134M-wedge slice)
+    LIMIT = min(T._SUBRANGE_LIMIT, 1 << 27)
     # wall-clock budget: the FULL 1.41G-wedge count measures ~20 min on
     # this chip (complete run recorded in BASELINE.md: T=9,346,475);
     # the per-round bench covers as many sub-ranges as fit the budget
@@ -250,11 +252,24 @@ def main():
     # ship 24-bit packed (25% fewer bytes through the ~16-25 MB/s
     # tunnel); csc_dst is DERIVED on device from r_begin; e_rev2idx and
     # node_idx_src are unused by the bench paths and stay dummy.
-    import dataclasses as _dc
-
     from green_marl_tpu.utils import pack
+
+    # tunnel bandwidth is VOLATILE across sessions (measured 16 MB/s in
+    # r3, ~1 GB/s in r4): probe once, then pick plain device_put (fast
+    # tunnel — zero extra compiles) or 24-bit packing + on-device
+    # csc_dst derivation (slow tunnel — 25-50% fewer bytes buys more
+    # than the unpack compiles cost)
+    probe = np.zeros(4_000_000, np.int32)
     t0 = time.time()
-    bp = binned.device_put_lite(bp_host, slot_src_packed=True)
+    jax.block_until_ready(jax.device_put(probe))
+    bw = 16.0 / max(time.time() - t0, 1e-6)
+    fast_tunnel = bw > 100.0
+    log(f"# tunnel bandwidth probe: {bw:.0f} MB/s -> "
+        f"{'plain' if fast_tunnel else 'packed'} transfers")
+
+    t0 = time.time()
+    bp = binned.device_put_lite(bp_host,
+                                slot_src_packed=not fast_tunnel)
     deg_rows = jax.device_put(arrs["deg_rows"])
     e_pad = int(arrs["csc_src"].shape[0])
     from green_marl_tpu.graph.csr import round_up
@@ -265,23 +280,31 @@ def main():
         out[: a.shape[0]] = a
         return out
 
+    def put_big(a):
+        return (jax.device_put(a) if fast_tunnel
+                else pack.put_packed(a))
+
     sent = np.int32(N)
     r_begin_d = jax.device_put(arrs["r_begin"])
+    if fast_tunnel:
+        csc_dst_d = jax.device_put(padded(arrs["csc_dst"], sent))
+    else:
+        csc_dst_d = pack.csc_dst_from_offsets(r_begin_d, e_pad_r, E, N)
     g = Graph(
         begin=jax.device_put(arrs["begin"]),
-        node_idx=pack.put_packed(padded(arrs["csr_dst"], sent)),
+        node_idx=put_big(padded(arrs["csr_dst"], sent)),
         node_idx_src=jax.device_put(np.zeros(e_pad_r, np.int32)),
         r_begin=r_begin_d,
-        r_node_idx=pack.put_packed(padded(arrs["csc_src"], sent)),
-        r_node_idx_dst=pack.csc_dst_from_offsets(
-            r_begin_d, e_pad_r, E, N),
+        r_node_idx=put_big(padded(arrs["csc_src"], sent)),
+        r_node_idx_dst=csc_dst_d,
         e_rev2idx=jax.device_put(np.zeros(e_pad_r, np.int32)),
         num_nodes=N, num_edges=E)
     jax.block_until_ready(g.begin)
-    moved = (3 * (bp.slot_src.size + 2 * g.node_idx.size) // 4
+    scale = 1.0 if fast_tunnel else 0.75
+    moved = (scale * (bp.slot_src.size + 2 * g.node_idx.size
+                      + (g.node_idx.size if fast_tunnel else 0))
              + deg_rows.size + g.begin.size * 2) * 4 / 1e6
-    log(f"# transfer ~{moved:.0f}MB (24-bit packed, csc_dst derived "
-        f"on-device) in {time.time()-t0:.1f}s")
+    log(f"# transfer ~{moved:.0f}MB in {time.time()-t0:.1f}s")
 
     out_deg = arrs["out_deg"].astype(np.int64)
     order = np.argsort(out_deg)[::-1]
