@@ -257,6 +257,14 @@ def make_conduct() -> UserMain:
         member = np.zeros(g.n_pad, np.int32)
         if "member" in ctx.node_props:
             member[: g.num_nodes] = np.asarray(ctx.node_props["member"])
+        k = _num_chips(ctx)
+        if k > 1:
+            # conduct.gm is a pure reduction program — the compiled
+            # vertex-sharded path covers it (r4)
+            out = _run_compiled_vsharded(ctx, "conduct", k,
+                                         member=member,
+                                         num=int(ctx.scalars["num"]))
+            return {"return": float(out["_return"])}
         c = float(conductance(g, jnp.asarray(member),
                               int(ctx.scalars["num"])))
         return {"return": c}
@@ -314,7 +322,14 @@ def make_avg_teen_cnt() -> UserMain:
         from ..models.analytics import avg_teen_cnt
         g = ctx.graph
         age = jnp.full((g.n_pad,), 10, jnp.int32)
-        avg, _ = avg_teen_cnt(g, age, int(ctx.scalars["K"]))
+        k = _num_chips(ctx)
+        if k > 1:
+            out = _run_compiled_vsharded(
+                ctx, "avg_teen_cnt", k, K=int(ctx.scalars["K"]),
+                age=np.asarray(age))
+            avg = float(out["_return"])
+        else:
+            avg, _ = avg_teen_cnt(g, age, int(ctx.scalars["K"]))
         print(f"avg = {float(avg):0.9f}")
         return {"return": float(avg)}
 

@@ -39,6 +39,8 @@ MATRIX = [
     ("pagerank", ["distribute", "engine", "replicate"]),
     ("hop_dist", ["distribute", "engine", "replicate"]),
     ("sssp", ["distribute", "engine", "replicate"]),
+    ("conduct", ["distribute"]),
+    ("avg_teen_cnt", ["distribute"]),
     ("multi_bfs", ["engine"]),
 ]
 
@@ -60,6 +62,9 @@ def run_cli(args):
         tm = re.search(r"traversed=(\d+)", ln)
         if tm:
             vals["traversed"] = float(tm.group(1))
+        rm = re.search(r"returns: ([-0-9.eE]+)", ln)
+        if rm:
+            vals["_return"] = float(rm.group(1))
     assert vals, f"no protocol values from {args}"
     return vals
 
