@@ -2133,6 +2133,11 @@ class Lowerer:
             # evaluate GetMinKey on empty maps and push garbage through
             # masked-write chains.
             return self._exec_while_eager(s, env)
+        return self._exec_while_traced(s, env)
+
+    def _exec_while_traced(self, s: A.While, env):
+        """The lax.while_loop lowering proper (callable directly by the
+        vertex-sharded subclass, whose BFS replay is fully traced)."""
         wkeys = written_keys(s.body)
         dkeys = declared_keys(s.body)
         if uses_rng(s.body) or uses_rng(s.cond):

@@ -594,6 +594,7 @@ class VertexLowerer(Lowerer):
     def _edge_ctx(self, it: A.Iterator, env, ctx):
         gl = self.g
         dst_gid = gl.gid_base + gl.dst_lpos
+        level_filter = None
         if it.iter_type in ("NBRS", "OUT_NBRS"):
             layout = "csr"
             o_gid, o_lp, o_halo = gl.src_gid, gl.src_lpos, True
@@ -602,6 +603,29 @@ class VertexLowerer(Lowerer):
             layout = "csc"
             o_gid, o_lp, o_halo = dst_gid, gl.dst_lpos, False
             i_gid, i_lp, i_halo = gl.src_gid, gl.src_lpos, True
+        elif it.iter_type in ("UP_NBRS", "DOWN_NBRS"):
+            # BFS-tree-relative neighbors inside an InBFS replay: Up =
+            # in-neighbors one level shallower, Down = out-neighbors one
+            # level deeper (gm_cpp_gen_foreach.cc level checks); the
+            # level array is an [L] owned slab, haloized for the remote
+            # endpoint
+            if self._bfs_ctx is None or self._bfs_ctx[0] != it.source:
+                raise LowerError(f"{it.iter_type} outside its InBFS "
+                                 "body")
+            _, level, d = self._bfs_ctx
+            if it.iter_type == "UP_NBRS":
+                layout = "csc"
+                o_gid, o_lp, o_halo = dst_gid, gl.dst_lpos, False
+                i_gid, i_lp, i_halo = gl.src_gid, gl.src_lpos, True
+                lvl_h = self._with_halo(level)
+                level_filter = lvl_h[gl.src_lpos] == (d - 1)
+            else:
+                layout = "csr"
+                o_gid, o_lp, o_halo = gl.src_gid, gl.src_lpos, True
+                i_gid, i_lp, i_halo = dst_gid, gl.dst_lpos, False
+                level_filter = (
+                    (level[jnp.clip(gl.dst_lpos, 0, gl.L - 1)]
+                     == (d + 1)) & (gl.dst_lpos < gl.L))
         elif it.iter_type == "EDGES":
             # the loop variable's VALUE is the global CSR slot (matches
             # single-device edge ids); slab-local access uses lpos
@@ -616,6 +640,8 @@ class VertexLowerer(Lowerer):
                 f"iterator {it.iter_type} not supported in vertex-sharded "
                 "lowering (rewrite as Nbrs/InNbrs supersteps)")
         mask = gl.emask
+        if level_filter is not None:
+            mask = mask & level_filter
         src_name = it.source
         if ctx is not None and ctx.kind == "node" and (
                 src_name == ctx.var or src_name in ctx.aliases):
@@ -1158,10 +1184,139 @@ class VertexLowerer(Lowerer):
         return super()._exec_vardecl(s, env, ctx)
 
     def _exec_bfs(self, s, env, ctx):
-        raise LowerError(
-            "InBFS/InDFS not supported in vertex-sharded lowering — "
-            "write the traversal as level-sync While supersteps "
-            "(hop_dist.gm form), like the reference GPS BFS transform")
+        """InBFS under vertex sharding: level-sync frontier expansion
+        over the owned slab with one ghost exchange per level (the GPS
+        ``transform_bfs`` level-sync rewrite), then a traced per-level
+        replay of the forward/reverse bodies.  InDFS stays rejected
+        (inherently sequential; the reference GPS backend rejects it
+        too)."""
+        if not s.is_bfs:
+            raise LowerError("InDFS not supported in vertex-sharded "
+                             "lowering (inherently sequential)")
+        if ctx is not None:
+            raise LowerError("InBFS nested inside a parallel loop")
+        gl = self.g
+        root = self._ident(s.root, env, None)
+        gid = gl.gid_base + jnp.arange(gl.L, dtype=jnp.int32)
+        owned = gid < gl.num_nodes
+        allowed = None
+        if s.navigator is not None:
+            nctx = NodeCtx(g=gl, var=s.var, ids=gid, mask=owned)
+            allowed = jnp.broadcast_to(
+                jnp.asarray(self.eval(s.navigator, env, nctx)),
+                (gl.L,)).astype(jnp.bool_)
+        level, depth = self._bfs_levels(root, s.transpose, allowed)
+        env["__bfs_level$" + s.var] = level
+        self._replay_bfs(s, env, level, depth, gid, owned)
+
+    def _bfs_levels(self, root, transpose: bool, allowed):
+        gl = self.g
+        INF = jnp.asarray(INT32_MAX, jnp.int32)
+        gid = gl.gid_base + jnp.arange(gl.L, dtype=jnp.int32)
+        mask = gid < gl.num_nodes
+        if allowed is not None:
+            mask = mask & allowed
+        rootv = jnp.asarray(root, jnp.int32)
+        level0 = jnp.where((gid == rootv) & (gid < gl.num_nodes),
+                           jnp.int32(0), INF)
+        level0 = jnp.where(mask | (gid == rootv), level0, INF)
+
+        def cond(st):
+            return st[1]
+
+        def body(st):
+            level, _, d = st
+            fr = (level == d) & mask                       # [L] owned
+            if transpose:
+                # BFS over G^: v joins when some OUT-neighbor w is in
+                # the frontier.  Edge v->w sits on w's owner (dst
+                # side), so the per-v reduction is a reverse message
+                # combine back to v's owner.
+                dst_ok = fr[jnp.clip(gl.dst_lpos, 0, gl.L - 1)] & \
+                    (gl.dst_lpos < gl.L)
+                work = jnp.where(gl.emask & dst_ok, jnp.int8(1),
+                                 jnp.int8(0))
+                reach_l, _t = self._reverse_reduce(
+                    work, gl.emask & dst_ok, gl.src_lpos, "max",
+                    jnp.int8(0))
+                reach = reach_l > 0
+            else:
+                frh = self._with_halo(fr)
+                vals = jnp.where(gl.emask, frh[gl.src_lpos],
+                                 False).astype(jnp.int8)
+                reach = ops.segment_max(vals, gl.dst_lpos, gl.L + 1,
+                                        sorted_ids=True)[:gl.L] > 0
+            newly = reach & (level == INF) & mask
+            level2 = jnp.where(newly, d + 1, level)
+            any_new = jax.lax.psum(
+                jnp.sum(newly.astype(jnp.int32)), self.axis) > 0
+            return level2, any_new, d + 1
+
+        level, _, depth = jax.lax.while_loop(
+            cond, body, (level0, jnp.asarray(True),
+                         jnp.asarray(0, jnp.int32)))
+        return level, depth
+
+    def _replay_bfs(self, s, env, level, depth, gid, owned):
+        """Traced per-level replay (the shard-map twin of
+        lower_bfs._replay_traced, over [L] owned contexts)."""
+        from .lower import (_DONE, _RET, _RNG, declared_keys, uses_rng,
+                            written_keys)
+
+        def run_phase(body, filt, reverse):
+            if body is None:
+                return
+            wkeys = written_keys(body)
+            if uses_rng(body):
+                raise LowerError("RNG inside a sharded InBFS body")
+            carry_keys = sorted((wkeys - declared_keys(body))
+                                - {_RET, _DONE})
+            for k in carry_keys:
+                if k not in env:
+                    raise LowerError(f"BFS body writes undeclared {k}")
+            init = tuple(env[k] for k in carry_keys)
+            dtypes = [jnp.asarray(v).dtype if isinstance(v, jax.Array)
+                      else None for v in init]
+
+            def body_fn(i, carry):
+                d = (depth - i) if reverse else i
+                e2 = dict(env)
+                for k, v in zip(carry_keys, carry):
+                    e2[k] = v
+                m = owned & (level == d)
+                nctx = NodeCtx(g=self.g, var=s.var, ids=gid, mask=m)
+                if s.navigator is not None and not reverse:
+                    nctx = nctx.with_mask(nctx.mask & jnp.broadcast_to(
+                        jnp.asarray(self.eval(s.navigator, e2, nctx)),
+                        m.shape))
+                if filt is not None:
+                    nctx = nctx.with_mask(nctx.mask & jnp.broadcast_to(
+                        jnp.asarray(self.eval(filt, e2, nctx)),
+                        m.shape))
+                self._bfs_ctx = (s.var, level, d)
+                try:
+                    self._defer_stack.append((s.var, []))
+                    try:
+                        self.exec_stmt(body, e2, nctx)
+                    finally:
+                        _, pend = self._defer_stack.pop()
+                    for key, mask, val in pend:
+                        self._wr(e2, key, jnp.where(mask, val, e2[key]))
+                finally:
+                    self._bfs_ctx = None
+                out = []
+                for k, dt in zip(carry_keys, dtypes):
+                    v = e2[k]
+                    out.append(jnp.asarray(v).astype(dt)
+                               if dt is not None else v)
+                return tuple(out)
+
+            final = jax.lax.fori_loop(0, depth + 1, body_fn, init)
+            for k, v in zip(carry_keys, final):
+                env[k] = v
+
+        run_phase(s.body_fw, s.filter_fw, False)
+        run_phase(s.body_bw, s.filter_bw, True)
 
     def _exec_for_items(self, s, env, ctx):
         raise LowerError("collection iteration not supported in "
@@ -1178,6 +1333,16 @@ class VertexLowerer(Lowerer):
     def _exec_while_eager(self, s, env, max_iters=1_000_000):
         raise LowerError("host-eager While not supported in "
                          "vertex-sharded lowering")
+
+    def _exec_while(self, s, env, ctx):
+        from .lower import contains_bfs
+        if ctx is None and contains_bfs(s.body) and \
+                not (self._uses_map(s.body) or self._uses_map(s.cond)):
+            # the vmode BFS replay is fully traced, so BFS-containing
+            # While loops take the ordinary lax.while_loop path (the
+            # single-device lowering must host-replay them instead)
+            return self._exec_while_traced(s, env)
+        return super()._exec_while(s, env, ctx)
 
 
 # ---------------------------------------------------------------------------

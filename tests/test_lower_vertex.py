@@ -211,3 +211,60 @@ def test_cli_placement_policies(tmp_path, capsys):
     np.testing.assert_allclose(
         ranks(["pagerank", "-GMNumChips=8", "-GMPlacement=replicate",
                p]), base, rtol=1e-5)
+
+
+def test_inbfs_vertex_sharded(setup):
+    """InBFS under VERTEX sharding (r4): level-sync frontier expansion
+    over the owned slab + ghost exchange, traced per-level replay with
+    UpNbrs/DownNbrs level-filtered slab contexts — the GPS transform_bfs
+    analog at the compiled level."""
+    from green_marl_tpu.lang.lower import compile_source
+    g, mesh, sched = setup
+    src = """
+Procedure paths(G: Graph, root: Node, sigma: N_P<Float>,
+                delta: N_P<Float>)
+{
+    G.sigma = 0;
+    root.sigma = 1;
+    InBFS(v: G.Nodes From root)(v != root) {
+        v.sigma = Sum(w: v.UpNbrs){ w.sigma };
+    } InReverse(v != root) {
+        v.delta = Sum(w: v.DownNbrs){ w.delta + w.sigma };
+    }
+}
+"""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cp = compile_source(src)
+        ref = cp(g, root=0)
+        out = LV.run_vertex_sharded(cp, g, root=0, mesh=mesh,
+                                    sched=sched)
+    for k in ("sigma", "delta"):
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(ref[k]), rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
+
+
+def test_transpose_inbfs_vertex_sharded(setup):
+    """BFS over G^ under vertex sharding: frontier membership is read
+    on the LOCAL (destination) side and shipped back to the source's
+    owner through the reverse message combine."""
+    from green_marl_tpu.lang.lower import compile_source
+    g, mesh, sched = setup
+    src = """
+Procedure revreach(G: Graph, root: Node, vis: N_P<Int>)
+{
+    G.vis = 0;
+    InBFS(v: G^.Nodes From root) {
+        v.vis = 1;
+    }
+}
+"""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cp = compile_source(src)
+        ref = cp(g, root=0)
+        out = LV.run_vertex_sharded(cp, g, root=0, mesh=mesh,
+                                    sched=sched)
+    np.testing.assert_array_equal(np.asarray(out["vis"]),
+                                  np.asarray(ref["vis"]))
