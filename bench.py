@@ -123,18 +123,22 @@ def triangle_lj(arrs):
     # the per-round bench covers as many sub-ranges as fit the budget
     # and reports coverage honestly
     budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "420"))
+    max_deg = int(deg.max(initial=1))
     while cum[min(s0, D)] < num_w:
         s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
         s1 = max(min(s1 - 1, D), s0 + 1)
         n_w = int(cum[s1] - cum[s0])
         if n_w == 0:
             break
-        pcv = np.clip(cum[np.minimum(idx, s1)] - cum[s0], 0, n_w)
+        # slice transfer (O(D/slices) bytes) + expansion decode
+        pcv = np.clip(cum[s0: s1 + 2] - cum[s0], 0, n_w)
         smp, span_bits = T._anchor_samples(pcv, n_w)
+        smp = (smp.astype(np.int64) + s0).astype(np.int32)
         pc = jax.device_put(pcv.astype(np.int32))
         smp_d = jax.device_put(smp)
         total += T._count_sub(db, dd, pc, smp_d, n_w, 1 << 18, bits,
-                              span_bits)
+                              span_bits, samples_np=smp,
+                              max_deg=max_deg, pc_base=s0)
         covered += n_w
         s0 = s1
         if time.time() - t0 > budget and covered < num_w:

@@ -191,9 +191,87 @@ def _anchor_samples(cum64: np.ndarray, num_wedges: int) -> np.ndarray:
 _DISPATCH_W = 1 << 24
 
 
+def _window_bounds(samples: np.ndarray, num_wedges: int, chunk: int,
+                   max_deg: int) -> Tuple[int, int]:
+    """Static window sizes for the expansion decode: the anchor slots of
+    any ``chunk`` consecutive wedge ids span at most S_MAX slots, and
+    their target slots stay within S_MAX + max row length."""
+    n_marks = samples.shape[0]
+    k0s = np.arange(0, num_wedges, chunk, dtype=np.int64)
+    lo = samples[np.minimum(k0s >> 8, n_marks - 1)].astype(np.int64)
+    hi_idx = np.minimum(((k0s + chunk - 1) >> 8) + 1, n_marks - 1)
+    hi = samples[hi_idx].astype(np.int64) + 1
+    s_max = int((hi - lo).max(initial=1))
+    return s_max, s_max + max_deg + 2
+
+
+@partial(jax.jit, static_argnames=("chunk", "bits", "s_max", "d_win"))
+def _count_wedges_expand(dag_begin, dag_dst, pair_cum, samples, k0,
+                         n_limit, pc_base, chunk: int, bits: int,
+                         s_max: int, d_win: int) -> jax.Array:
+    """Expansion decode: within a chunk of consecutive wedge ids the
+    anchor slot is NON-DECREASING, so instead of a per-wedge binary
+    search the kernel dynamic-slices the [s_max] slot window, scatters
+    anchor-start marks into the chunk, and prefix-sums them — zero
+    random HBM gathers for the decode, and both wedge endpoints read
+    from the same sliced dag_dst window.  Only the row-membership
+    search still gathers from HBM at random (~13 vs ~25 gathers/wedge
+    of the search decode)."""
+    n = dag_begin.shape[0] - 1
+    num_chunks = _DISPATCH_W // chunk
+    n_marks = samples.shape[0]
+
+    def row_contains(b, c):
+        lo = dag_begin[b]
+        hi = dag_begin[b + 1]
+
+        def body(_, state):
+            lo, hi = state
+            active = lo < hi
+            mid = (lo + hi) // 2
+            v = dag_dst[jnp.clip(mid, 0, dag_dst.shape[0] - 1)]
+            go_right = active & (v < c)
+            return (jnp.where(go_right, mid + 1, lo),
+                    jnp.where(active & ~go_right, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(0, bits, body, (lo, hi))
+        return (lo < dag_begin[b + 1]) & \
+            (dag_dst[jnp.clip(lo, 0, dag_dst.shape[0] - 1)] == c)
+
+    def do_chunk(ci, acc):
+        k_start = k0 + ci * chunk
+        i0 = samples[jnp.minimum(k_start >> 8, n_marks - 1)]
+        i0 = jnp.minimum(i0, pc_base + pair_cum.shape[0] - s_max)
+        pc_win = jax.lax.dynamic_slice_in_dim(
+            pair_cum, jnp.maximum(i0 - pc_base, 0), s_max)
+        pos = pc_win.astype(jnp.int32) - k_start       # [s_max]
+        base = jnp.sum((pos <= 0).astype(jnp.int32))
+        inb = (pos >= 1) & (pos < chunk)
+        marks = jnp.zeros((chunk,), jnp.int32).at[
+            jnp.clip(pos, 0, chunk - 1)].add(
+            jnp.where(inb, 1, 0), mode="drop")
+        inc = jnp.cumsum(marks)                        # [chunk]
+        i = i0 + base - 1 + inc                        # anchor per wedge
+        k = k_start + jnp.arange(chunk, dtype=jnp.int32)
+        valid = k < n_limit
+        il = jnp.clip(i - i0, 0, s_max - 1)
+        off = k - pc_win[il]
+        dd_win = jax.lax.dynamic_slice_in_dim(
+            dag_dst, jnp.minimum(i0, dag_dst.shape[0] - d_win), d_win)
+        dbase = jnp.minimum(i0, dag_dst.shape[0] - d_win)
+        b = dd_win[jnp.clip(i - dbase, 0, d_win - 1)]
+        j = i + 1 + off
+        c = dd_win[jnp.clip(j - dbase, 0, d_win - 1)]
+        hit = row_contains(b, c) & valid
+        return limb_add(acc, jnp.sum(hit.astype(jnp.int32)))
+
+    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
+
+
 @partial(jax.jit, static_argnames=("chunk", "bits", "span_bits"))
 def _count_wedges(dag_begin, dag_dst, pair_cum, samples, k0, n_limit,
-                  chunk: int, bits: int, span_bits: int) -> jax.Array:
+                  pc_base, chunk: int, bits: int,
+                  span_bits: int) -> jax.Array:
     """Sum over wedge ids [k0, min(k0 + _DISPATCH_W, n_limit)) of
     [c in N+(b)]; flat wedge ids -> (slot, offset) via the sampled
     anchor index + a bounded window search, then membership by binary
@@ -235,13 +313,16 @@ def _count_wedges(dag_begin, dag_dst, pair_cum, samples, k0, n_limit,
             lo, hi = st
             active = hi - lo > 1
             mid = (lo + hi) // 2
-            go_left = active & (pair_cum[mid] > kk)
+            pcm = pair_cum[jnp.clip(mid - pc_base, 0,
+                                    pair_cum.shape[0] - 1)]
+            go_left = active & (pcm > kk)
             return (jnp.where(go_left, lo, jnp.where(active, mid, lo)),
                     jnp.where(go_left, mid, hi))
 
         lo, hi = jax.lax.fori_loop(0, span_bits, abody, (lo, hi))
         i = lo
-        off = kk - pair_cum[i]
+        off = kk - pair_cum[jnp.clip(i - pc_base, 0,
+                                     pair_cum.shape[0] - 1)]
         j = i + 1 + off
         b = dag_dst[i]
         c = dag_dst[j]
@@ -296,28 +377,62 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
         table, W, bb, cc, vv = prep["dag_fast"]
         return int(_count_expanded(table, bb, cc, vv, W))
     deg = np.diff(np.asarray(ctx.dag_begin))
-    bits = max(1, int(deg.max(initial=1)).bit_length()) + 1
+    max_deg = int(deg.max(initial=1))
+    bits = max(1, max_deg.bit_length()) + 1
     total = 0
-    for lo, sub, samples, span_bits in _wedge_subranges(ctx):
+    for lo, sub, samples, span_bits, pc_base in _wedge_subranges(ctx):
         total += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
-                            samples, sub.num_wedges, chunk, bits,
-                            span_bits)
+                            jnp.asarray(samples), sub.num_wedges, chunk,
+                            bits, span_bits, samples_np=samples,
+                            max_deg=max_deg, pc_base=pc_base)
     return total
 
 
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
-               bits: int, span_bits: int) -> int:
+               bits: int, span_bits: int, samples_np=None,
+               max_deg=None, pc_base: int = 0) -> int:
     """Drive the fixed-window kernel over one (sub)range: many short
-    dispatches, one compile."""
+    dispatches, one compile.  When the host-side samples and max degree
+    are supplied and the slot windows are chunk-bounded, the expansion
+    decode replaces the per-wedge window search (~2x fewer random HBM
+    gathers)."""
     chunk = min(chunk, _DISPATCH_W)
     while _DISPATCH_W % chunk:
         chunk //= 2
     nl = jnp.asarray(num_wedges, jnp.int32)
+    pb = jnp.asarray(pc_base, jnp.int32)
+    span_bits = -(-span_bits // 4) * 4      # quantize: share compiles
+    expand = None
+    if samples_np is not None and max_deg is not None:
+        s_max, d_win = _window_bounds(np.asarray(samples_np),
+                                      num_wedges, chunk, int(max_deg))
+        # window work is contiguous (dynamic_slice + scatter into the
+        # chunk) — profitable until it dwarfs the ~12 random gathers
+        # per wedge it replaces
+        if s_max <= 8 * chunk:
+            # quantize the static window sizes to powers of two so
+            # consecutive sub-ranges REUSE one compiled kernel (every
+            # distinct static arg costs a ~40-60 s remote compile)
+            s_max = max(1 << max(s_max - 1, 1).bit_length(), 1 << 14)
+            d_win = s_max + (1 << max(int(max_deg) + 1, 1)
+                             .bit_length())
+            d_win = min(d_win, int(dd.shape[0]))
+            s_max = min(s_max, d_win)
+            expand = (s_max, d_win)
+            if pc.shape[0] < s_max + 8:
+                pc = jnp.concatenate([
+                    pc, jnp.full((s_max + 8 - pc.shape[0],),
+                                 num_wedges, pc.dtype)])
     total = 0
     for k0 in range(0, num_wedges, _DISPATCH_W):
-        t = _count_wedges(db, dd, pc, samples,
-                          jnp.asarray(k0, jnp.int32), nl, chunk, bits,
-                          span_bits)
+        if expand is not None:
+            t = _count_wedges_expand(
+                db, dd, pc, samples, jnp.asarray(k0, jnp.int32), nl,
+                pb, chunk, bits, expand[0], expand[1])
+        else:
+            t = _count_wedges(db, dd, pc, samples,
+                              jnp.asarray(k0, jnp.int32), nl, pb,
+                              chunk, bits, span_bits)
         total += limb_value(t)
     return total
 
@@ -335,7 +450,7 @@ def _wedge_subranges(ctx: DagContext):
     if ctx.num_wedges < LIMIT:
         cum32 = np.asarray(ctx.pair_cum).astype(np.int64)
         smp, sb = _anchor_samples(cum32, ctx.num_wedges)
-        yield 0, ctx, jnp.asarray(smp), sb
+        yield 0, ctx, smp, sb, 0
         return
     pair_cum = np.asarray(ctx.pair_cum).astype(np.int64)
     # pair_cum was clipped at int32 max when overflowing; rebuild exact
@@ -351,23 +466,23 @@ def _wedge_subranges(ctx: DagContext):
     pairs = row_end - slots - 1
     cum = np.zeros(D + 1, np.int64)
     cum[1:] = np.cumsum(pairs)
-    d_pad = int(dag_dst.shape[0])
-    idx = np.arange(d_pad + 1, dtype=np.int64)
     s0 = 0
     while s0 < D:
         # largest s1 with cum[s1] - cum[s0] < LIMIT (anchor-slot axis;
-        # target slots j stay global, so dag_dst is shared untouched)
+        # target slots j stay global, so dag_dst is shared untouched).
+        # pair_cum ships as the [s0 .. s1+1] SLICE plus its base offset
+        # — per-slice transfer is O(D/slices), not O(D)
         s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
         s1 = max(min(s1 - 1, D), s0 + 1)
         n_w = int(cum[s1] - cum[s0])
-        pcv = cum[np.minimum(idx, s1)]
-        pcv = np.clip(pcv - cum[s0], 0, n_w)
+        pcv = np.clip(cum[s0: s1 + 2] - cum[s0], 0, n_w)
         sub = DagContext(
             dag_begin=ctx.dag_begin, dag_dst=ctx.dag_dst,
             pair_cum=jnp.asarray(pcv.astype(np.int32)),
             num_wedges=n_w, num_dag_edges=s1)
         smp, sb = _anchor_samples(pcv, n_w)
-        yield int(cum[s0]), sub, jnp.asarray(smp), sb
+        smp = (smp.astype(np.int64) + s0).astype(np.int32)
+        yield int(cum[s0]), sub, smp, sb, s0
         s0 = s1
 
 
