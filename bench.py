@@ -122,7 +122,7 @@ def triangle_lj(arrs):
     # this chip (complete run recorded in BASELINE.md: T=9,346,475);
     # the per-round bench covers as many sub-ranges as fit the budget
     # and reports coverage honestly
-    budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "420"))
+    budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "600"))
     max_deg = int(deg.max(initial=1))
     while cum[min(s0, D)] < num_w:
         s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
