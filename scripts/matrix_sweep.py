@@ -77,8 +77,13 @@ def main():
     g, _ = from_edges(src, dst, 400)
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "m.bin")
+        # extended binary with a real membership property so conduct's
+        # cross-placement comparison is non-trivial
+        rng = np.random.default_rng(11)
+        member = rng.integers(0, 3, g.num_nodes).astype(np.int32)
         bio.store_binary(path, np.asarray(g.begin),
-                         np.asarray(g.node_idx)[: g.num_edges])
+                         np.asarray(g.node_idx)[: g.num_edges],
+                         node_props=[member])
         n_cfg = 0
         for app, placements in MATRIX:
             base = run_cli([app, path])
