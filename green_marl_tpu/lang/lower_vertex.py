@@ -58,7 +58,8 @@ from ..graph.csr import Graph, round_up
 from ..ops import segment as ops
 from .lower import (
     CompiledProc, EdgeCtx, Lowerer, LowerError, NodeCtx, _F, _RET, _coerce,
-    _combine, _identity, _SEG_OP, _float_dtype, dtype_of_kind, written_keys,
+    _combine, _identity, _SEG_OP, _float_dtype, _walk_ast, dtype_of_kind,
+    written_keys,
 )
 
 INT32_MAX = np.iinfo(np.int32).max
@@ -338,6 +339,10 @@ class VertexLowerer(Lowerer):
         # consistent with its owned slab (identity comparison; any write
         # yields a new object => stale)
         self._halo_ok: Dict[str, object] = {}
+        # trace-time count of all_to_all exchange launches — the test
+        # hook for the one-exchange-per-superstep guarantee (the GPS
+        # congruent-message merge, gm_gps_find_congruent_message.cc)
+        self.exchange_count: int = 0
 
     # ---- ghost exchange ---------------------------------------------------
     def _exchange(self, owned):
@@ -348,9 +353,69 @@ class VertexLowerer(Lowerer):
         if as_bool:
             v = v.astype(jnp.int8)
         send = v[gl.send_idx]                                # [S, cap]
+        self.exchange_count += 1
         recv = jax.lax.all_to_all(send, self.axis, 0, 0)     # [S, cap]
         out = recv.reshape(-1)
         return out.astype(jnp.bool_) if as_bool else out
+
+    # 4-byte wire format for the fused exchange: everything bitcasts or
+    # widens to int32 (the GPS backend likewise unions congruent message
+    # classes into one fixed wire layout, gps_comminfo.h:8-100)
+    _WIRE_OK = (jnp.int32, jnp.uint32, jnp.float32, jnp.bool_, jnp.int8)
+
+    def _to_wire(self, v):
+        if v.dtype in (jnp.bool_, jnp.int8):
+            return v.astype(jnp.int32)
+        if v.dtype in (jnp.uint32, jnp.float32):
+            return jax.lax.bitcast_convert_type(v, jnp.int32)
+        return v
+
+    def _from_wire(self, w, dt):
+        if dt in (jnp.bool_, jnp.int8):
+            return w.astype(dt)
+        if dt in (jnp.uint32, jnp.float32):
+            return jax.lax.bitcast_convert_type(w, dt)
+        return w
+
+    def _ensure_halos(self, keys, env):
+        """Refresh the halos of every stale property in ``keys`` with ONE
+        fused ``all_to_all`` — the analog of the reference GPS backend's
+        congruent-message merge (``gm_gps_find_congruent_message.cc``):
+        k properties consumed in one superstep ride one wire exchange,
+        not k.  Properties whose dtype has no 4-byte wire form fall back
+        to the per-prop path."""
+        gl = self.g
+        stale, fallback = [], []
+        for k in keys:
+            arr = env.get(k)
+            if arr is None or not isinstance(arr, jax.Array) or \
+                    arr.ndim != 1 or arr.shape[0] != gl.L + gl.G:
+                continue
+            if self._halo_ok.get(k) is arr:
+                continue
+            (stale if jnp.dtype(arr.dtype) in
+             [jnp.dtype(d) for d in self._WIRE_OK] else fallback).append(k)
+        for k in fallback:
+            self._ensure_halo(k, env)
+        if not stale:
+            return
+        if len(stale) == 1:
+            self._ensure_halo(stale[0], env)
+            return
+        sends, dts = [], []
+        for k in stale:
+            v = env[k][:gl.L]
+            dts.append(v.dtype)
+            sends.append(self._to_wire(v)[gl.send_idx])      # [S, cap]
+        bundle = jnp.stack(sends, axis=-1)                   # [S, cap, K]
+        self.exchange_count += 1
+        recv = jax.lax.all_to_all(bundle, self.axis, 0, 0)   # [S, cap, K]
+        halos = recv.reshape(gl.G, len(stale))
+        for i, k in enumerate(stale):
+            h = self._from_wire(halos[:, i], dts[i])
+            new = env[k].at[gl.L:].set(h)
+            env[k] = new
+            self._halo_ok[k] = new
 
     def _with_halo(self, v):
         """Extend an [L] owned vector to [Lh] with a fresh halo."""
@@ -673,6 +738,52 @@ class VertexLowerer(Lowerer):
         raise LowerError(
             "nested neighbor iteration not supported in vertex-sharded "
             "lowering")
+
+    # ---- fused halo prefetch ----------------------------------------------
+    def _prefetch_halos(self, it: A.Iterator, parts, env, ctx):
+        """Before lowering a neighbor loop/reduce, scan its body for every
+        node property read through the loop's *ghost* endpoint and refresh
+        all stale halos with one fused exchange (``_ensure_halos``) — so a
+        k-property superstep (bc, sssp_path) issues 1 ``all_to_all``, not
+        k.  Props the scan misses still refresh lazily (correctness never
+        depends on the scan)."""
+        if it.iter_type not in ("NBRS", "OUT_NBRS", "IN_NBRS"):
+            return
+        halo_vars = set()
+        if it.iter_type in ("NBRS", "OUT_NBRS"):
+            # CSR-direction loop: the iterated-FROM side is the edge
+            # source = the remote (halo) endpoint under dst-owner
+            # placement; parent node-loop aliases resolve there too
+            halo_vars.add(it.source)
+            if ctx is not None and getattr(ctx, "kind", "") == "node" \
+                    and (it.source == ctx.var
+                         or it.source in ctx.aliases):
+                halo_vars.add(ctx.var)
+                halo_vars.update(ctx.aliases)
+        else:                          # IN_NBRS: inner (source) is remote
+            halo_vars.add(it.var)
+        keys: list = []
+
+        def scan(n):
+            if isinstance(n, A.Field) and n.driver in halo_vars:
+                loc_dt = self.props.get(n.prop)
+                if loc_dt is not None and loc_dt[0] == "N":
+                    k = _F + n.prop
+                    if k not in keys:
+                        keys.append(k)
+
+        for p in parts:
+            _walk_ast(p, scan)
+        if len(keys) > 1:
+            self._ensure_halos(keys, env)
+
+    def _exec_foreach(self, s: A.Foreach, env, ctx):
+        self._prefetch_halos(s.iterator, (s.body, s.filter), env, ctx)
+        return super()._exec_foreach(s, env, ctx)
+
+    def _reduce_expr(self, e: A.ReduceExpr, env, ctx):
+        self._prefetch_halos(e.iterator, (e.body, e.filter), env, ctx)
+        return super()._reduce_expr(e, env, ctx)
 
     # ---- reductions ---------------------------------------------------------
     def _reduce_over_nodes(self, e: A.ReduceExpr, env, nctx: NodeCtx):
@@ -1359,6 +1470,7 @@ def _default_mesh(axis: str, n: Optional[int] = None) -> Mesh:
 def run_vertex_sharded(cp: CompiledProc, g: Graph, *args,
                        mesh: Optional[Mesh] = None, axis: str = "v",
                        sched: Optional[VertexSchedule] = None,
+                       stats: Optional[Dict] = None,
                        **kwargs) -> Dict:
     """Execute a compiled procedure vertex-sharded over ``mesh[axis]``.
 
@@ -1491,6 +1603,11 @@ def run_vertex_sharded(cp: CompiledProc, g: Graph, *args,
             env[_F + name] = (gl.node_prop(0, dt) if loc == "N"
                               else gl.edge_prop(0, dt))
         lw.run(env)
+        if stats is not None:
+            # trace-time op count: how many all_to_all exchange launches
+            # the compiled program contains (test hook for the fused
+            # congruent-message guarantee)
+            stats["exchanges"] = lw.exchange_count
         outs = {}
         for name in out_names:
             if prop_loc.get(name) == "N":

@@ -241,44 +241,133 @@ def v_tarjan_literal(g, kw, out, aux):
     np.testing.assert_array_equal(got, SCC)
 
 
-def v_bc(g, kw, out, aux):
-    """Literal bc.gm semantics: visit_fw also runs for the root
+def _brandes_round(g, sd, BC, exclude_src=False):
+    """One bc round from seed ``sd`` accumulated into ``BC``, literal
+    InBFS/InReverse semantics.  ``exclude_src=False`` is bc.gm /
+    bc_random.gm: visit_fw also runs for the root
     (gm_bfs_template.h:102), so sigma[root] is overwritten by the empty
-    UpNbrs sum -> NaNs propagate exactly like the reference binary."""
+    UpNbrs sum and NaNs propagate exactly like the reference binary.
+    ``exclude_src=True`` is bc_adj.gm's ``(v != s)`` navigator on both
+    passes: sigma[src] stays 1, src accumulates nothing."""
     import collections
     begin, ni = np.asarray(g.begin), np.asarray(g.node_idx)
     rbegin, rni = np.asarray(g.r_begin), np.asarray(g.r_node_idx)
     N = g.num_nodes
+    level = np.full(N, -1)
+    level[sd] = 0
+    order = [sd]
+    q = collections.deque([sd])
+    while q:
+        u = q.popleft()
+        for v in ni[begin[u]:begin[u + 1]]:
+            if v < N and level[v] < 0:
+                level[v] = level[u] + 1
+                q.append(v)
+                order.append(v)
+    sigma = np.zeros(N, np.float32)
+    sigma[sd] = 1
+    for u in sorted(order, key=lambda x: level[x]):
+        if exclude_src and u == sd:
+            continue
+        sigma[u] = sum(sigma[p] for p in rni[rbegin[u]:rbegin[u + 1]]
+                       if level[p] == level[u] - 1)
+    delta = np.zeros(N, np.float32)
+    for u in sorted(order, key=lambda x: -level[x]):
+        if exclude_src and u == sd:
+            continue
+        tot = np.float32(0)
+        for w in ni[begin[u]:begin[u + 1]]:
+            if w < N and level[w] == level[u] + 1:
+                tot += sigma[u] / sigma[w] * (1 + delta[w])
+        delta[u] = tot
+        BC[u] += delta[u]
+
+
+def v_bc(g, kw, out, aux):
+    N = g.num_nodes
     BC = np.zeros(N, np.float32)
     for sd in [1, 2, 3]:
-        level = np.full(N, -1)
-        level[sd] = 0
-        order = [sd]
-        q = collections.deque([sd])
-        while q:
-            u = q.popleft()
-            for v in ni[begin[u]:begin[u + 1]]:
-                if v < N and level[v] < 0:
-                    level[v] = level[u] + 1
-                    q.append(v)
-                    order.append(v)
-        sigma = np.zeros(N, np.float32)
-        sigma[sd] = 1
-        for u in sorted(order, key=lambda x: level[x]):
-            sigma[u] = sum(sigma[p] for p in rni[rbegin[u]:rbegin[u + 1]]
-                           if level[p] == level[u] - 1)
-        delta = np.zeros(N, np.float32)
-        for u in sorted(order, key=lambda x: -level[x]):
-            tot = np.float32(0)
-            for w in ni[begin[u]:begin[u + 1]]:
-                if w < N and level[w] == level[u] + 1:
-                    tot += sigma[u] / sigma[w] * (1 + delta[w])
-            delta[u] = tot
-            BC[u] += delta[u]
+        _brandes_round(g, sd, BC)
     got = _nkey(out, "BC")[: N]
     np.testing.assert_array_equal(np.isnan(got), np.isnan(BC))
     m = ~np.isnan(BC)
     np.testing.assert_allclose(got[m], BC[m], rtol=1e-4)
+
+
+def v_bc_adj(g, kw, out, aux):
+    """bc_adj.gm: every node is a seed, with the ``(v != s)`` source
+    exclusion on both passes — proper Brandes, fully deterministic."""
+    N = g.num_nodes
+    BC = np.zeros(N, np.float32)
+    for sd in range(N):
+        _brandes_round(g, sd, BC, exclude_src=True)
+    got = _nkey(out, "BC")[: N]
+    np.testing.assert_allclose(got, BC, rtol=1e-4, atol=1e-5)
+
+
+def v_bc_random(g, kw, out, aux):
+    """bc_random.gm: the K PickRandom seeds come from the lowerer's
+    counter-based threefry stream (lower.py:_rng_uniform) — fully
+    replicable on the host.  The draw-site/counter pattern depends on
+    whether the While body traced or ran eagerly (InBFS forces eager),
+    so both candidate seed sequences are derived and ONE must reproduce
+    the BC output."""
+    import jax.random as jr
+    K = int(np.asarray(kw["K"]))
+    N = g.num_nodes
+    got = _nkey(out, "BC")[: N]
+
+    def seeds_for(pattern):
+        sds = []
+        for i in range(K):
+            site = i + 1 if pattern == "eager" else 1
+            key = jr.fold_in(jr.fold_in(jr.PRNGKey(0), np.uint32(i)),
+                             site)
+            u = float(jr.uniform(key, ()))
+            sds.append(min(max(int(u * N), 0), N - 1))
+        return sds
+
+    errs = []
+    for pattern in ("eager", "traced"):
+        BC = np.zeros(N, np.float32)
+        for sd in seeds_for(pattern):
+            _brandes_round(g, sd, BC)
+        m = ~np.isnan(BC)
+        try:
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(BC))
+            np.testing.assert_allclose(got[m], BC[m], rtol=1e-4)
+            return
+        except AssertionError as e:
+            errs.append(f"{pattern}: {str(e)[:100]}")
+    raise AssertionError(
+        "bc_random output matches neither candidate seed stream: "
+        + "; ".join(errs))
+
+
+def v_b2(g, kw, out, aux):
+    """b2.gm: InDFS on the TRANSPOSED graph (G^) from s — the pre body
+    sets A = B+1 and the post body B = A+1 for every visited node, so
+    values are order-independent and the visited set is exactly
+    reverse-reachability from s (the host DFS visits semi-sorted
+    neighbors deterministically)."""
+    s = int(np.asarray(kw["s"]))
+    rbegin, rni = np.asarray(g.r_begin), np.asarray(g.r_node_idx)
+    N = g.num_nodes
+    seen = np.zeros(N, bool)
+    seen[s] = True
+    stack = [s]
+    while stack:
+        u = stack.pop()
+        for v in rni[rbegin[u]:rbegin[u + 1]]:
+            if v < N and not seen[v]:
+                seen[v] = True
+                stack.append(v)
+    a = _nkey(out, "A")[: N]
+    b = _nkey(out, "B")[: N]
+    np.testing.assert_array_equal(a[seen], 1)
+    np.testing.assert_array_equal(b[seen], 2)
+    np.testing.assert_array_equal(a[~seen], 0)
+    np.testing.assert_array_equal(b[~seen], 0)
 
 
 def v_communities(g, kw, out, aux):
@@ -462,9 +551,9 @@ VALIDATORS = {
     "adamicAdar2": v_adamic2_zero,
     "potential_friends": None,   # oracle-tested in tests/test_lower_maps
     "bidir_dijkstra": None,      # oracle-tested in tests/test_lower_maps
-    "bc_adj": None,              # adjacency variant of bc (bc covers it)
-    "bc_random": None,           # random-seed variant (nondeterministic)
-    "b2": None,                  # DFS pre/post smoke (order-dependent)
+    "bc_adj": v_bc_adj,
+    "bc_random": v_bc_random,
+    "b2": v_b2,
 }
 
 
