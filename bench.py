@@ -58,7 +58,7 @@ SS_ITERS = 10         # single-instance PageRank iterations
 BASELINE_GTEPS = 5.0
 PREP_VERSION = 3     # bump when the binned schedule format changes
 TRI = os.path.join(DDIR, "rmat_lj_tri.npz")
-TRI_VERSION = 1      # triangle DAG cache format
+TRI_VERSION = 3      # triangle cache (v3: descending-row layout + hash)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     N, M = 100_000, 1_600_000
@@ -99,38 +99,61 @@ def _is_oom(e):
 
 def triangle_lj(arrs):
     """LJ-scale triangle count on the chip: symmetrize the bench graph,
-    build (or load) the degree-oriented DAG, run the windowed wedge
-    kernel over int32-safe sub-ranges.  Returns (count, secs, wedges)."""
+    build (or load) the degree-oriented DAG + the 2-round membership
+    hash (round-5), run the windowed wedge kernel over int32-safe
+    sub-ranges.  Returns (count, secs, wedges)."""
     import jax
 
     import green_marl_tpu.models.triangle as T
     from green_marl_tpu.graph.csr import round_up
 
-    if os.path.exists(TRI):
-        d = np.load(TRI)
-        ok = int(d.get("version", np.int64(0))) == TRI_VERSION
-        if ok:
-            log(f"# triangle dag cache: D={int(d['D'])}")
-            dag_begin, dag_dst = d["dag_begin"], d["dag_dst"]
+    d = np.load(TRI) if os.path.exists(TRI) else None
+    if d is not None and int(d.get("version", np.int64(0))) \
+            == TRI_VERSION:
+        log(f"# triangle cache: D={int(d['D'])}")
+        dag_begin, dag_dst = d["dag_begin"], d["dag_dst"]
+        D = int(d["D"])
+        prim, sec, seed = d["prim"], d["sec"], int(d["seed"])
+    else:
+        t0 = time.time()
+        if d is not None and "dag_begin" in d.files and \
+                "prim" not in d.files:
+            # v1 cache: rank-ordered DAG present; derive layout + hash
+            rank_begin, rank_dst = d["dag_begin"], d["dag_dst"]
             D = int(d["D"])
         else:
-            d = None
-    else:
-        d = None
-    if d is None or not ok:
-        t0 = time.time()
-        from green_marl_tpu.graph.csr import from_edges, to_undirected
-        e = np.load(EDGES)
-        s_, d_ = to_undirected(e["src"], e["dst"])
-        g_u, _ = from_edges(s_, d_, N)
-        ctx = T.build_dag(g_u)
-        dag_begin = np.asarray(ctx.dag_begin)
-        dag_dst = np.asarray(ctx.dag_dst)
-        D = ctx.num_dag_edges
+            from green_marl_tpu.graph.csr import from_edges, \
+                to_undirected
+            e = np.load(EDGES)
+            # dedup=False: build_dag dedups rows itself; skipping the
+            # 138M-pair np.unique shaves ~90 s off the cold build
+            s_, d_ = to_undirected(e["src"], e["dst"], dedup=False)
+            g_u, _ = from_edges(s_, d_, N)
+            ctx0 = T.build_dag(g_u)
+            rank_begin = np.asarray(ctx0.dag_begin)
+            rank_dst = np.asarray(ctx0.dag_dst)
+            D = ctx0.num_dag_edges
+            del g_u, s_, d_, e
+
+        class _Ctx:
+            pass
+        _Ctx.dag_begin, _Ctx.dag_dst, _Ctx.num_dag_edges = \
+            rank_begin, rank_dst, D
+        # hash keys are (rank, rank) pairs — row order irrelevant
+        eh = T.build_edge_hash(_Ctx)
+        prim, sec, seed = eh.prim, eh.sec, eh.seed
+        # descending-pair row layout: compact decode windows on every
+        # slice (measured 146 s vs 479 s full LJ count)
+        perm_dst, _cum, nb = T.descending_row_layout(rank_begin,
+                                                     rank_dst, D)
+        dag_dst = np.full(rank_dst.shape[0], N, np.int32)
+        dag_dst[:D] = perm_dst
+        dag_begin = nb.astype(np.int64)
         np.savez(TRI, version=np.int64(TRI_VERSION),
-                 dag_begin=dag_begin, dag_dst=dag_dst, D=np.int64(D))
-        log(f"# triangle dag build {time.time()-t0:.1f}s (cached)")
-        del g_u, s_, d_, e
+                 dag_begin=dag_begin, dag_dst=dag_dst, D=np.int64(D),
+                 prim=prim, sec=sec, seed=np.int64(seed))
+        log(f"# triangle layout+hash build {time.time()-t0:.1f}s "
+            "(cached)")
 
     # exact 64-bit wedge prefix from the cached DAG
     deg = np.diff(dag_begin.astype(np.int64))
@@ -143,40 +166,61 @@ def triangle_lj(arrs):
     num_w = int(cum[D])
     bits = max(1, int(deg.max(initial=1)).bit_length()) + 1
 
-    db = jax.device_put(dag_begin)
+    t0 = time.time()
+    db = jax.device_put(dag_begin.astype(np.int32))
     dd = jax.device_put(dag_dst)
-    d_pad = int(dag_dst.shape[0])
-    idx = np.arange(d_pad + 1, dtype=np.int64)
+    eh_dev = (jax.device_put(prim), jax.device_put(sec), seed)
+    jax.block_until_ready(eh_dev[0])
+    tri_mb = (prim.nbytes + sec.nbytes + dag_dst.nbytes) / 1e6
+    log(f"# triangle transfer {tri_mb:.0f}MB in {time.time()-t0:.1f}s")
     total = 0
     covered = 0
     t0 = time.time()
     s0 = 0
-    # slice finer than the int32 bound so the budget check between
-    # slices actually gets a say (~85 s per 134M-wedge slice)
     LIMIT = min(T._SUBRANGE_LIMIT, 1 << 27)
-    # wall-clock budget: the FULL 1.41G-wedge count measures ~20 min on
-    # this chip (complete run recorded in BASELINE.md: T=9,346,475);
-    # the per-round bench covers as many sub-ranges as fit the budget
-    # and reports coverage honestly
+    # wall-clock budget: the FULL 1.41G-wedge count runs ~110-200 s
+    # through the hashed kernel (T=9,346,475, golden-confirmed); the
+    # budget guard stays as a hostile-session backstop
     budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "600"))
     max_deg = int(deg.max(initial=1))
+    chunk = 1 << 18
+
+    # precompute slice bounds -> one global pad/window hint -> ONE
+    # compiled kernel across all slices (the r4 2.8 Mwedges/s drag was
+    # per-slice recompiles)
+    bounds = []
     while cum[min(s0, D)] < num_w:
         s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
         s1 = max(min(s1 - 1, D), s0 + 1)
-        n_w = int(cum[s1] - cum[s0])
-        if n_w == 0:
+        if cum[s1] - cum[s0] <= 0:
             break
-        # slice transfer (O(D/slices) bytes) + expansion decode
+        bounds.append((s0, s1))
+        s0 = s1
+    subs = []
+    for s0, s1 in bounds:
+        n_w = int(cum[s1] - cum[s0])
         pcv = np.clip(cum[s0: s1 + 2] - cum[s0], 0, n_w)
         smp, span_bits = T._anchor_samples(pcv, n_w)
         smp = (smp.astype(np.int64) + s0).astype(np.int32)
+        subs.append((s0, n_w, pcv, smp, span_bits))
+    pc_h = max(1 << max(len(s[2]) - 1, 1).bit_length() for s in subs)
+    smp_h = max(1 << max(len(s[3]) - 1, 1).bit_length() for s in subs)
+    sm_h = 1
+    for s0, n_w, pcv, smp, span_bits in subs:
+        qw = T._quantized_windows(smp, n_w, chunk, max_deg,
+                                  int(dag_dst.shape[0]))
+        if qw is not None:
+            sm_h = max(sm_h, qw[0])
+    hint = (pc_h, smp_h, sm_h)
+
+    for s0, n_w, pcv, smp, span_bits in subs:
         pc = jax.device_put(pcv.astype(np.int32))
         smp_d = jax.device_put(smp)
-        total += T._count_sub(db, dd, pc, smp_d, n_w, 1 << 18, bits,
+        total += T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
                               span_bits, samples_np=smp,
-                              max_deg=max_deg, pc_base=s0)
+                              max_deg=max_deg, pc_base=s0,
+                              edge_hash=eh_dev, pad_hint=hint)
         covered += n_w
-        s0 = s1
         if time.time() - t0 > budget and covered < num_w:
             log(f"# triangle budget reached: {covered}/{num_w} wedges "
                 f"covered ({100*covered/num_w:.0f}%) — full-run count "

@@ -137,3 +137,75 @@ def xorshift_lengths(n: int, mod: int = 100, add: int = 1):
     out = np.empty(n, np.int32)
     lib.gm_xorshift_lengths(n, mod, add, _ptr(out))
     return out
+
+
+def _bind_tri(lib):
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if getattr(lib, "_tri_bound", False):
+        return True
+    try:
+        lib.gm_build_dag.restype = ctypes.c_int64
+        lib.gm_build_dag.argtypes = [i32p, i32p, ctypes.c_int32, i32p,
+                                     i32p]
+        lib.gm_hash_fill.restype = ctypes.c_int64
+        lib.gm_hash_fill.argtypes = [i32p, i32p, ctypes.c_int32,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_uint32,
+                                     i32p, i32p]
+        lib.gm_desc_layout.restype = None
+        lib.gm_desc_layout.argtypes = [i32p, i32p, ctypes.c_int32,
+                                       i32p, i32p]
+    except AttributeError:          # stale .so
+        return False
+    lib._tri_bound = True
+    return True
+
+
+def build_dag(begin: np.ndarray, dst: np.ndarray, n: int):
+    """Degree-rank DAG orientation from an undirected CSR (native).
+    Returns (dag_begin[n+1] int32, dag_dst[:D] int32) or None."""
+    lib = _load()
+    if lib is None or not _bind_tri(lib):
+        return None
+    begin = np.ascontiguousarray(begin, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    dag_begin = np.empty(n + 1, np.int32)
+    dag_dst = np.empty(max(dst.shape[0], 1), np.int32)
+    d = lib.gm_build_dag(_ptr(begin), _ptr(dst), n, _ptr(dag_begin),
+                         _ptr(dag_dst))
+    if d < 0:
+        return None
+    return dag_begin, dag_dst[:d]
+
+
+def hash_fill(dag_begin: np.ndarray, dag_dst: np.ndarray, n: int,
+              d: int, hp: int, hs: int, seed: int):
+    """Two-level bucketed hash fill (native).  Returns
+    (prim [hp,16], sec [hs,32], fail_count) or None."""
+    lib = _load()
+    if lib is None or not _bind_tri(lib):
+        return None
+    dag_begin = np.ascontiguousarray(dag_begin, np.int32)
+    dag_dst = np.ascontiguousarray(dag_dst, np.int32)
+    prim = np.empty((hp, 16), np.int32)
+    sec = np.empty((hs, 32), np.int32)
+    fail = lib.gm_hash_fill(_ptr(dag_begin), _ptr(dag_dst), n, d, hp,
+                            hs, np.uint32(seed), _ptr(prim), _ptr(sec))
+    return prim, sec, int(fail)
+
+
+def desc_layout(dag_begin: np.ndarray, dag_dst: np.ndarray, n: int,
+                d: int):
+    """Descending-pair row layout (native).  Returns
+    (perm_dst[:d], nb[n+1] int32) or None."""
+    lib = _load()
+    if lib is None or not _bind_tri(lib):
+        return None
+    dag_begin = np.ascontiguousarray(dag_begin, np.int32)
+    dag_dst = np.ascontiguousarray(dag_dst, np.int32)
+    perm_dst = np.empty(max(d, 1), np.int32)
+    nb = np.empty(n + 1, np.int32)
+    lib.gm_desc_layout(_ptr(dag_begin), _ptr(dag_dst), n,
+                       _ptr(perm_dst), _ptr(nb))
+    return perm_dst[:d], nb

@@ -2124,8 +2124,10 @@ class Lowerer:
             # pop-min/relax idiom lowers to device Bellman-Ford
             # supersteps (lower_priority — the delta-stepping
             # reformulation, removing the 100k host-eager scale cap).
-            from .lower_priority import try_priority_while
+            from .lower_priority import try_bidir_while, try_priority_while
             if try_priority_while(self, s, env):
+                return
+            if try_bidir_while(self, s, env):
                 return
             # Otherwise: inherently sequential in the reference
             # (gm_mutatable_priority_map is not thread-safe); run

@@ -369,3 +369,342 @@ def try_priority_while(lw, s: A.While, env) -> bool:
     lw._wr(env, m.map_name,
            DenseNodeMap(jnp.where(present, sdist, M.val), present))
     return True
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional Dijkstra (apps/src/bidir_dijkstra.gm): the two-map,
+# direction-alternating pop-min loop.  Device lowering: one forward +
+# one reverse Bellman-Ford fixpoint (each the same label-correcting
+# reformulation as ``try_priority_while``), meet at argmin(FCost+RCost).
+# The size-balancing direction choice and the ``<= minCost`` pruning are
+# traversal-order OPTIMIZATIONS of the sequential machine — dropping
+# them changes no shortest distance and no reachable meet; documented
+# deviations (PARITY.md): Parent trees are lowest-slot argmin edges over
+# the FULL fixpoint (the pruned eager run leaves far-side Parents
+# unwritten), pop-order scalars (curMin*) and leftover frontier map
+# entries are reconstructed, and `mid` tie-breaks to the lowest node id.
+# ---------------------------------------------------------------------------
+
+class _BidirSide:
+    map_name: str
+    next_var: str
+    settled_prop: str
+    curmin_var: str
+    cost_prop: str
+    dist_var: str
+    v_var: str
+    e_var: Optional[str]
+    iter_type: str
+    relax: A.Expr
+    writes: List[A.Assign]
+    other_cost_prop: Optional[str]
+    newcost_var: Optional[str]
+    meet: Optional[A.ArgMinMaxAssign]
+
+
+def _match_bidir_side(lw, block) -> Optional[_BidirSide]:
+    m = _BidirSide()
+    m.map_name = None
+    m.next_var = None
+    m.settled_prop = None
+    m.curmin_var = None
+    m.cost_prop = None
+    m.dist_var = None
+    m.e_var = None
+    m.meet = None
+    m.other_cost_prop = None
+    m.newcost_var = None
+    removed = False
+    loop = None
+    for st in _stmts(block):
+        if isinstance(st, A.VarDecl) and len(st.names) == 1 and \
+                isinstance(st.init, A.Builtin) and \
+                st.init.name.lower() == "getminkey" and m.next_var is None:
+            m.next_var = st.names[0]
+            m.map_name = st.init.driver
+        elif isinstance(st, A.CallStmt) and \
+                st.call.name.lower() == "remove" and \
+                st.call.driver == m.map_name:
+            removed = True
+        elif isinstance(st, A.Assign) and isinstance(st.lhs, A.Field) \
+                and st.lhs.driver == m.next_var and \
+                _is_true_const(st.rhs) and m.settled_prop is None:
+            m.settled_prop = st.lhs.prop
+        elif isinstance(st, A.Assign) and isinstance(st.lhs, A.Ident) \
+                and isinstance(st.rhs, A.Field) and \
+                st.rhs.driver == m.next_var and m.curmin_var is None:
+            m.curmin_var = st.lhs.name
+            m.cost_prop = st.rhs.prop
+        elif isinstance(st, A.If) and st.els is None and \
+                isinstance(_single(st.then), A.Assign) and \
+                isinstance(_single(st.then).lhs, A.Ident) and \
+                _is_true_const(_single(st.then).rhs):
+            pass                      # early-termination check (dropped)
+        elif isinstance(st, A.VarDecl) and len(st.names) == 1 and \
+                isinstance(st.init, A.Field) and \
+                st.init.driver == m.next_var and \
+                st.init.prop == m.cost_prop and m.dist_var is None:
+            m.dist_var = st.names[0]
+        elif isinstance(st, A.Foreach) and loop is None:
+            loop = st
+        else:
+            return None
+    if None in (m.next_var, m.settled_prop, m.cost_prop, m.dist_var) \
+            or not removed or loop is None:
+        return None
+    it = loop.iterator
+    if it.source != m.next_var or it.iter_type not in \
+            ("NBRS", "OUT_NBRS", "IN_NBRS"):
+        return None
+    m.iter_type = it.iter_type
+    m.v_var = it.var
+    f = loop.filter
+    if not (isinstance(f, A.UnOp) and f.op == "NOT" and
+            isinstance(f.operand, A.Field) and
+            f.operand.driver == m.v_var and
+            f.operand.prop == m.settled_prop):
+        return None
+    lb = _stmts(loop.body)
+    if lb and isinstance(lb[0], A.VarDecl) and len(lb[0].names) == 1 \
+            and isinstance(lb[0].init, A.Builtin) and \
+            lb[0].init.name.lower() == "toedge":
+        m.e_var = lb[0].names[0]
+        lb = lb[1:]
+    # prune guard If (dist + w + curMinOther <= minCost): dropped —
+    # it only skips never-improving relaxations
+    if len(lb) != 1 or not isinstance(lb[0], A.If) or \
+            lb[0].els is not None:
+        return None
+    inner = _stmts(lb[0].then)
+    if len(inner) != 1 or not isinstance(inner[0], A.If) or \
+            inner[0].els is not None:
+        return None
+    if3 = inner[0]
+    c3 = if3.cond
+    if not (isinstance(c3, A.BinOp) and c3.op == ">" and
+            isinstance(c3.lhs, A.Field) and c3.lhs.driver == m.v_var and
+            c3.lhs.prop == m.cost_prop):
+        return None
+    m.relax = c3.rhs
+    m.writes = []
+    body = _stmts(if3.then)
+    if not body or not (isinstance(body[0], A.Assign) and
+                        isinstance(body[0].lhs, A.Field) and
+                        body[0].lhs.driver == m.v_var and
+                        body[0].lhs.prop == m.cost_prop and
+                        _expr_eq(body[0].rhs, m.relax)):
+        return None
+    for st in body[1:]:
+        if isinstance(st, A.Assign) and isinstance(st.lhs, A.MapAccess) \
+                and st.lhs.map_name == m.map_name:
+            continue                          # frontier push (implicit)
+        if isinstance(st, A.Assign) and isinstance(st.lhs, A.Field) \
+                and st.lhs.driver == m.v_var:
+            m.writes.append(st)
+            continue
+        if isinstance(st, A.If) and st.els is None and m.meet is None:
+            c = st.cond
+            if not (isinstance(c, A.BinOp) and c.op == "!=" and
+                    isinstance(c.lhs, A.Field) and
+                    c.lhs.driver == m.v_var):
+                return None
+            m.other_cost_prop = c.lhs.prop
+            mb = _stmts(st.then)
+            if len(mb) == 2 and isinstance(mb[0], A.VarDecl) and \
+                    len(mb[0].names) == 1 and \
+                    isinstance(mb[1], A.ArgMinMaxAssign) and \
+                    mb[1].op == "MIN":
+                m.newcost_var = mb[0].names[0]
+                m.meet = mb[1]
+                continue
+            return None
+        return None
+    if m.meet is None:
+        return None
+    return m
+
+
+def _match_bidir(lw, s: A.While, env):
+    if s.do_while:
+        return None
+    body = _stmts(s.body)
+    if len(body) != 1 or not isinstance(body[0], A.If):
+        return None
+    if1 = body[0]
+    if if1.els is None:
+        return None
+    els = _single(if1.els)
+    if not isinstance(els, A.If) or els.els is not None:
+        return None
+    fwd = _match_bidir_side(lw, if1.then)
+    rev = _match_bidir_side(lw, els.then)
+    if fwd is None or rev is None:
+        return None
+    if fwd.iter_type == "IN_NBRS":
+        fwd, rev = rev, fwd
+    if fwd.iter_type not in ("NBRS", "OUT_NBRS") or \
+            rev.iter_type != "IN_NBRS":
+        return None
+    # the two sides must meet on each other's cost prop and share the
+    # same <minCost; mid> argmin target
+    if fwd.other_cost_prop != rev.cost_prop or \
+            rev.other_cost_prop != fwd.cost_prop:
+        return None
+    for side in (fwd, rev):
+        t = side.meet
+        if not (isinstance(t.lhs, A.Ident) and len(t.lhs_extra) == 1 and
+                isinstance(t.lhs_extra[0], A.Ident) and
+                isinstance(t.rhs, A.Ident) and
+                t.rhs.name == side.newcost_var and
+                len(t.rhs_extra) == 1 and
+                isinstance(t.rhs_extra[0], A.Ident) and
+                t.rhs_extra[0].name == side.v_var):
+            return None
+    if not (fwd.meet.lhs.name == rev.meet.lhs.name and
+            fwd.meet.lhs_extra[0].name == rev.meet.lhs_extra[0].name):
+        return None
+    # While cond may only read the terminate flag + the two map sizes
+    names = set()
+
+    def scan(e):
+        if isinstance(e, A.Ident):
+            names.add(e.name)
+        if isinstance(e, A.Builtin):
+            if e.name.lower() != "size" or e.driver not in \
+                    (fwd.map_name, rev.map_name):
+                names.add("<bad>")
+            return
+        for attr in ("lhs", "rhs", "operand"):
+            sub = getattr(e, attr, None)
+            if isinstance(sub, A.Expr):
+                scan(sub)
+    scan(s.cond)
+    term = [n for n in names if n != "<bad>"]
+    if "<bad>" in names or len(term) != 1:
+        return None
+    return fwd, rev, term[0]
+
+
+def try_bidir_while(lw, s: A.While, env) -> bool:
+    """Device lowering of the bidir_dijkstra two-map loop; False ->
+    caller falls back to the host-eager replay."""
+    from .lower import EdgeCtx, _F, _coerce, _identity
+    from ..ops import segment as ops
+    from ..runtime.collections import DenseNodeMap
+
+    if lw.axis is not None:
+        return False
+    r = _match_bidir(lw, s, env)
+    if r is None:
+        return False
+    fwd, rev, term_flag = r
+    g = lw.g
+    for side in (fwd, rev):
+        if not isinstance(env.get(side.map_name), DenseNodeMap):
+            return False
+    dt = jnp.asarray(env[_F + fwd.cost_prop]).dtype
+    if not jnp.issubdtype(dt, jnp.integer):
+        return False
+    INF_I = _identity("MIN", dt)
+    emask = g.edge_mask()
+    nmask = g.node_mask()
+
+    def run_side(side, outer_ids, inner_ids, layout):
+        dist0 = jnp.asarray(env[_F + side.cost_prop])[: g.n_pad]
+
+        def ectx_env(dist_vec):
+            ectx = EdgeCtx(g=g, layout=layout, outer_var=side.next_var,
+                           inner_var=side.v_var, outer_ids=outer_ids,
+                           inner_ids=inner_ids, mask=emask, parent=None)
+            env2 = dict(env)
+            finite = dist_vec[outer_ids] < INF_I
+            env2[side.dist_var] = jnp.where(
+                finite, dist_vec[outer_ids], jnp.zeros((), dt))
+            if side.e_var is not None:
+                env2[side.e_var] = ectx.slots()
+            return ectx, env2, finite
+
+        def relax_vals(dist_vec):
+            ectx, env2, finite = ectx_env(dist_vec)
+            val = _coerce(lw.eval(side.relax, env2, ectx), dt)
+            val = jnp.broadcast_to(val, emask.shape)
+            return jnp.where(emask & finite, val, INF_I)
+
+        def bf_body(state):
+            dist, _ = state
+            cand = relax_vals(dist)
+            best = ops.segment_min(cand, inner_ids, g.n_pad,
+                                   sorted_ids=False)
+            new = jnp.minimum(dist, best)
+            return new, jnp.any(new < dist)
+
+        sdist, _ = jax.lax.while_loop(
+            lambda st: st[1], bf_body, (dist0, jnp.asarray(True)))
+
+        # per-target writes at the lowest-slot argmin edge achieving the
+        # final distance (Parent/ParentEdge trees)
+        if side.writes:
+            ectx, env2, _fin = ectx_env(sdist)
+            val = _coerce(lw.eval(side.relax, env2, ectx), dt)
+            val = jnp.broadcast_to(val, emask.shape)
+            active = emask & (sdist[outer_ids] < INF_I)
+            cand = jnp.where(active, val, INF_I)
+            best = ops.segment_min(cand, inner_ids, g.n_pad,
+                                   sorted_ids=False)
+            finite_t = sdist < INF_I
+            touched = (best <= sdist) & finite_t & (best < INF_I)
+            slot_ids = jnp.arange(g.e_pad, dtype=jnp.int32)
+            win = active & (cand == best[inner_ids]) & touched[inner_ids]
+            win_slot = ops.segment_min(
+                jnp.where(win, slot_ids,
+                          jnp.asarray(g.e_pad, jnp.int32)),
+                inner_ids, g.n_pad, sorted_ids=False)
+            win_slot = jnp.minimum(win_slot, g.e_pad - 1)
+            wctx = ectx.with_mask(win)
+            for w in side.writes:
+                loc, wdt = lw.props[w.lhs.prop]
+                key = _F + w.lhs.prop
+                rv = jnp.broadcast_to(
+                    jnp.asarray(_coerce(lw.eval(w.rhs, env2, wctx),
+                                        wdt)), emask.shape)
+                arr = env[key]
+                lw._wr(env, key,
+                       jnp.where(touched, rv[win_slot], arr))
+        return sdist
+
+    sdist_f = run_side(fwd, g.node_idx_src, g.node_idx, "csr")
+    sdist_r = run_side(rev, g.r_node_idx_dst, g.r_node_idx, "csc")
+
+    fin_f = (sdist_f < INF_I) & nmask
+    fin_r = (sdist_r < INF_I) & nmask
+    both = fin_f & fin_r
+    tot = jnp.where(both, sdist_f + sdist_r, INF_I)
+    min_cost = jnp.min(tot)
+    found = min_cost < INF_I
+    mid = jnp.argmin(tot).astype(jnp.int32)      # lowest-id tie-break
+
+    # commit state: cost/settled fields are the fixpoint (superset of
+    # the pruned eager traversal — temporaries in the app)
+    for side, sdist, fin in ((fwd, sdist_f, fin_f),
+                             (rev, sdist_r, fin_r)):
+        key = _F + side.cost_prop
+        lw._wr(env, key, jnp.asarray(sdist, env[key].dtype))
+        skey = _F + side.settled_prop
+        lw._wr(env, skey, fin.astype(env[skey].dtype))
+        if side.curmin_var in env:
+            lw._wr(env, side.curmin_var,
+                   jnp.max(jnp.where(fin, sdist, jnp.zeros((), dt))))
+        M = env[side.map_name]
+        lw._wr(env, side.map_name,
+               DenseNodeMap(M.val, jnp.zeros_like(M.present)))
+    mc_name = fwd.meet.lhs.name
+    mid_name = fwd.meet.lhs_extra[0].name
+    lw._wr(env, mc_name, jnp.where(found, min_cost,
+                                   jnp.asarray(env[mc_name], dt)))
+    lw._wr(env, mid_name,
+           jnp.where(found, mid,
+                     jnp.asarray(env[mid_name], jnp.int32)))
+    lw._wr(env, term_flag,
+           jnp.where(found, jnp.asarray(True),
+                     jnp.asarray(env[term_flag], jnp.bool_)))
+    return True

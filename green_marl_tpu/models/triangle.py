@@ -50,35 +50,48 @@ class DagContext(NamedTuple):
 
 
 def build_dag(g: Graph) -> DagContext:
-    """Host-side preprocessing (numpy), like ``make_reverse_edges``."""
+    """Host-side preprocessing, like ``make_reverse_edges``: native
+    OpenMP (``gm_build_dag``) with a numpy fallback — both produce the
+    identical rank-ordered, deduped, row-sorted DAG."""
     begin = np.asarray(g.begin)
-    dst = np.asarray(g.node_idx)[: g.num_edges].astype(np.int64)
     N = g.num_nodes
-    deg = np.diff(begin).astype(np.int64)
-    src = np.repeat(np.arange(N, dtype=np.int64), deg)
 
-    # Orientation rank: ascending degree, ties by id.
-    order = np.lexsort((np.arange(N), deg))      # rank -> node
-    rank = np.empty(N, np.int64)
-    rank[order] = np.arange(N)
+    from ..graph import native
+    nat = native.build_dag(begin,
+                           np.asarray(g.node_idx)[: g.num_edges], N) \
+        if native.available() else None
+    if nat is not None:
+        dag_begin64 = nat[0].astype(np.int64)
+        dd = nat[1].astype(np.int64)
+        D = dd.shape[0]
+        deg_r = np.diff(dag_begin64)
+        ds = np.repeat(np.arange(N, dtype=np.int64), deg_r)
+    else:
+        dst = np.asarray(g.node_idx)[: g.num_edges].astype(np.int64)
+        deg = np.diff(begin).astype(np.int64)
+        src = np.repeat(np.arange(N, dtype=np.int64), deg)
 
-    rs, rd = rank[src], rank[dst]
-    keep = rs < rd                                # orient low-rank -> high-rank
-    ds, dd = rs[keep], rd[keep]
-    # dedup parallel edges (multigraphs would over-count)
-    codes = np.unique(ds * N + dd)
-    ds, dd = codes // N, codes % N
-    D = ds.shape[0]
+        # Orientation rank: ascending degree, ties by id.
+        order = np.lexsort((np.arange(N), deg))      # rank -> node
+        rank = np.empty(N, np.int64)
+        rank[order] = np.arange(N)
 
-    dag_begin = np.zeros(N + 1, np.int64)
-    np.cumsum(np.bincount(ds, minlength=N), out=dag_begin[1:])
-    # rows already sorted by (ds, dd) because codes are sorted
+        rs, rd = rank[src], rank[dst]
+        keep = rs < rd                  # orient low-rank -> high-rank
+        ds, dd = rs[keep], rd[keep]
+        # dedup parallel edges (multigraphs would over-count)
+        codes = np.unique(ds * N + dd)
+        ds, dd = codes // N, codes % N
+        D = ds.shape[0]
+        dag_begin64 = np.zeros(N + 1, np.int64)
+        np.cumsum(np.bincount(ds, minlength=N), out=dag_begin64[1:])
+        # rows already sorted by (ds, dd) because codes are sorted
 
     d_pad = round_up(max(D, 1))
     dag_dst = np.full(d_pad, N, np.int64)
     dag_dst[:D] = dd
 
-    row_end = dag_begin[ds + 1]
+    row_end = dag_begin64[ds + 1]
     slots = np.arange(D, dtype=np.int64)
     pairs = row_end - slots - 1                   # wedges anchored at slot
     pair_cum = np.zeros(d_pad + 1, np.int64)
@@ -89,7 +102,7 @@ def build_dag(g: Graph) -> DagContext:
     # int32 on device (x64 off); counts beyond int32 are rejected at the
     # count entry points before these arrays are indexed
     return DagContext(
-        dag_begin=jnp.asarray(dag_begin.astype(np.int32)),
+        dag_begin=jnp.asarray(dag_begin64.astype(np.int32)),
         dag_dst=jnp.asarray(dag_dst.astype(np.int32)),
         pair_cum=jnp.asarray(np.minimum(pair_cum, 2**31 - 1)
                              .astype(np.int32)),
@@ -191,6 +204,24 @@ def _anchor_samples(cum64: np.ndarray, num_wedges: int) -> np.ndarray:
 _DISPATCH_W = 1 << 24
 
 
+def _quantized_windows(samples_np: np.ndarray, num_wedges: int,
+                       chunk: int, max_deg: int, dd_len: int,
+                       sm_hint: int = 0):
+    """Static (s_max, d_win) for the expansion decode, quantized to
+    powers of two (and at least ``sm_hint``) so every sub-range of a
+    multi-slice count REUSES one compiled kernel — each distinct static
+    arg costs a ~10-60 s remote compile.  None when the slot windows
+    are too wide for the decode to pay off."""
+    s_max, _ = _window_bounds(samples_np, num_wedges, chunk, max_deg)
+    if s_max > 8 * chunk:
+        return None
+    s_max = max(1 << max(s_max - 1, 1).bit_length(), 1 << 14, sm_hint)
+    d_win = s_max + (1 << max(int(max_deg) + 1, 1).bit_length())
+    d_win = min(d_win, dd_len)
+    s_max = min(s_max, d_win)
+    return s_max, d_win
+
+
 def _window_bounds(samples: np.ndarray, num_wedges: int, chunk: int,
                    max_deg: int) -> Tuple[int, int]:
     """Static window sizes for the expansion decode: the anchor slots of
@@ -264,6 +295,205 @@ def _count_wedges_expand(dag_begin, dag_dst, pair_cum, samples, k0,
         c = dd_win[jnp.clip(j - dbase, 0, d_win - 1)]
         hit = row_contains(b, c) & valid
         return limb_add(acc, jnp.sum(hit.astype(jnp.int32)))
+
+    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
+
+
+# ---------------------------------------------------------------------------
+# Hashed membership (round-5): the binary search costs ~13 DEPENDENT
+# random-gather rounds per wedge (log2 max_deg), and the measured
+# per-row gather issue rate (~9.5 ns, probe_gather3) makes those rounds
+# the whole cost — 8.3 Mwedges/s at best.  A bucketed hash of all DAG
+# edges (b, c) answers membership in TWO fixed gather rounds (primary +
+# overflow bucket, each one contiguous 64 B row fetch), ~6x fewer
+# dependent rounds.  Build is vectorized host numpy, cached like the
+# DAG itself (the reference builds its edge indexes once in prepare()
+# too, gm_graph.cc:205-296).
+# ---------------------------------------------------------------------------
+
+_HB = 8                      # slots per bucket (one [16]-int32 row fetch)
+_H_EMPTY = np.int32(-1)
+# hashed membership pays a table build + ~2x edge memory; profitable
+# once the wedge space dwarfs the edge set (tests shrink this)
+_HASH_MIN_W = 1 << 26
+
+
+def _mix_hash(b, c, seed, nbuckets, xp=np):
+    """Multiplicative mix of the (b, c) pair -> bucket id; identical
+    uint32 arithmetic on host (numpy) and device (jnp)."""
+    u = (b.astype(xp.uint32) * xp.uint32(0x9E3779B1)
+         ^ c.astype(xp.uint32) * xp.uint32(0x85EBCA77)
+         ^ xp.uint32(seed))
+    u = u ^ (u >> xp.uint32(16))
+    u = u * xp.uint32(0xC2B2AE35)
+    u = u ^ (u >> xp.uint32(13))
+    # arbitrary (non-power-of-two) bucket counts keep the table at
+    # D/alpha slots instead of rounding up to 2x; the uint32 modulo is
+    # one multiply-shift on the VPU
+    return (u % xp.uint32(nbuckets)).astype(xp.int32)
+
+
+class EdgeHash(NamedTuple):
+    prim: np.ndarray        # [Hp, 2*_HB] int32, slot j -> (b, c) at 2j, 2j+1
+    sec: np.ndarray         # [Hs, 2*_HB] int32 overflow table
+    seed: int
+
+
+def _fill_table(b, c, h, nbuckets, slots=_HB):
+    """Place keys into [nbuckets, slots] buckets; returns (table,
+    overflow mask).  Vectorized: sort by bucket, rank within bucket,
+    first ``slots`` fit."""
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    uniq, start, cnt = np.unique(hs, return_index=True,
+                                 return_counts=True)
+    first = np.zeros(hs.shape[0], np.int64)
+    first[start] = start
+    np.maximum.accumulate(first, out=first)
+    rank = np.arange(hs.shape[0], dtype=np.int64) - first
+    fits = rank < slots
+    table = np.full((nbuckets, 2 * slots), _H_EMPTY, np.int32)
+    slot = hs[fits].astype(np.int64) * slots + rank[fits]
+    flat = table.reshape(-1, 2)
+    flat[slot, 0] = b[order][fits]
+    flat[slot, 1] = c[order][fits]
+    over = np.zeros(h.shape[0], bool)
+    over[order] = ~fits
+    return table, over
+
+
+def build_edge_hash(ctx: DagContext, alpha: float = 0.5) -> EdgeHash:
+    """Two-level bucketed hash of every DAG edge (src_rank, dst_rank).
+
+    Primary: bucket-8 (one 64 B row fetch), load ``alpha``.  Secondary
+    takes primary overflow (~0.8% of keys at alpha=0.5) into bucket-16
+    rows (128 B fetch) at load ~1/8 — P(secondary overflow) is ~1e-11
+    per bucket, and three seed retries cover even that."""
+    dag_begin = np.asarray(ctx.dag_begin).astype(np.int64)
+    D = ctx.num_dag_edges
+    c = np.asarray(ctx.dag_dst)[:D].astype(np.int32)
+    n = dag_begin.shape[0] - 1
+    hp = max(int(D / alpha / _HB) + 1, 8)
+
+    from ..graph import native
+    if native.available():
+        # secondary sized like the numpy path would (overflow ~0.84% at
+        # alpha=0.5; 4x headroom at 16 slots/bucket)
+        hs = max(int(D * 0.02) // 2 + 9, 8)
+        for seed in (0x1234ABCD, 0x7F4A7C15, 0x2545F491):
+            r = native.hash_fill(dag_begin.astype(np.int32), c, n, D,
+                                 hp, hs, seed)
+            if r is None:
+                break
+            prim, sec, fail = r
+            if fail == 0:
+                return EdgeHash(prim=prim, sec=sec, seed=seed)
+        else:
+            raise RuntimeError("edge-hash build: overflow after 3 seeds")
+
+    deg = np.diff(dag_begin)
+    b = np.repeat(np.arange(n, dtype=np.int32), deg)
+    for seed in (0x1234ABCD, 0x7F4A7C15, 0x2545F491):
+        h1 = _mix_hash(b, c, seed, hp)
+        prim, over = _fill_table(b, c, h1, hp)
+        bo, co = b[over], c[over]
+        hs = max(bo.shape[0] // 2 + 9, 8)
+        h2 = _mix_hash(bo, co, seed ^ 0x5bd1e995, hs)
+        sec, over2 = _fill_table(bo, co, h2, hs, slots=2 * _HB)
+        if not over2.any():
+            return EdgeHash(prim=prim, sec=sec, seed=seed)
+    raise RuntimeError("edge-hash build: overflow after 3 seeds")
+
+
+def descending_row_layout(dag_begin: np.ndarray, dag_dst: np.ndarray,
+                          D: int):
+    """Rows reordered by DESCENDING pair count, host-side.
+
+    The hashed membership probe never touches ``dag_begin`` — row order
+    is free — and rank order puts millions of 0-2-pair rows first, so
+    the expansion decode's anchor window ``s_max`` balloons (1M slots on
+    LJ slice 1, 4.6 vs 14 Mwedges/s measured).  Descending-pair order
+    keeps every chunk's anchor window compact AND uniform across
+    slices.  Returns (perm_dst, cum64) where cum64 is the exact wedge
+    prefix over the permuted slot axis."""
+    from ..graph import native
+    n = dag_begin.shape[0] - 1
+    nat = native.desc_layout(dag_begin, dag_dst, n, D) \
+        if native.available() else None
+    if nat is not None:
+        perm_dst, nb = nat
+        starts = nb.astype(np.int64)
+        new_deg = np.diff(starts)
+        total = int(starts[-1])
+    else:
+        begin64 = dag_begin.astype(np.int64)
+        deg = np.diff(begin64)
+        pairs_row = deg * (deg - 1) // 2
+        order = np.argsort(-pairs_row, kind="stable")
+        new_deg = deg[order]
+        total = int(new_deg.sum())
+        starts = np.zeros(order.shape[0] + 1, np.int64)
+        np.cumsum(new_deg, out=starts[1:])
+        rep = np.repeat(np.arange(order.shape[0], dtype=np.int64),
+                        new_deg)
+        offs = np.arange(total, dtype=np.int64) - starts[rep]
+        old_slot = begin64[order[rep]] + offs
+        perm_dst = dag_dst[old_slot]
+    rep = np.repeat(np.arange(n, dtype=np.int64), new_deg)
+    offs = np.arange(total, dtype=np.int64) - starts[rep]
+    pairs = new_deg[rep] - offs - 1
+    cum = np.zeros(total + 1, np.int64)
+    cum[1:] = np.cumsum(pairs)
+    return perm_dst.astype(np.int32), cum, starts
+
+
+@partial(jax.jit, static_argnames=("chunk", "s_max", "d_win", "seed"))
+def _count_wedges_hashed(dag_dst, pair_cum, samples, prim, sec, k0,
+                         n_limit, pc_base, chunk: int, s_max: int,
+                         d_win: int, seed: int) -> jax.Array:
+    """Expansion decode (see ``_count_wedges_expand``) + hashed
+    membership: per wedge ONE [16]-word primary bucket fetch and one
+    secondary fetch — 2 dependent random-HBM rounds total vs ~13 for
+    the row binary search."""
+    num_chunks = _DISPATCH_W // chunk
+    n_marks = samples.shape[0]
+    hp = prim.shape[0]
+    hs = sec.shape[0]
+
+    def probe(table, h, b, c):
+        rows = table[h]                              # [chunk, 16]
+        kb = rows[:, 0::2]
+        kc = rows[:, 1::2]
+        return jnp.any((kb == b[:, None]) & (kc == c[:, None]), axis=1)
+
+    def do_chunk(ci, acc):
+        k_start = k0 + ci * chunk
+        i0 = samples[jnp.minimum(k_start >> 8, n_marks - 1)]
+        i0 = jnp.minimum(i0, pc_base + pair_cum.shape[0] - s_max)
+        pc_win = jax.lax.dynamic_slice_in_dim(
+            pair_cum, jnp.maximum(i0 - pc_base, 0), s_max)
+        pos = pc_win.astype(jnp.int32) - k_start       # [s_max]
+        base = jnp.sum((pos <= 0).astype(jnp.int32))
+        inb = (pos >= 1) & (pos < chunk)
+        marks = jnp.zeros((chunk,), jnp.int32).at[
+            jnp.clip(pos, 0, chunk - 1)].add(
+            jnp.where(inb, 1, 0), mode="drop")
+        inc = jnp.cumsum(marks)                        # [chunk]
+        i = i0 + base - 1 + inc                        # anchor per wedge
+        k = k_start + jnp.arange(chunk, dtype=jnp.int32)
+        valid = k < n_limit
+        il = jnp.clip(i - i0, 0, s_max - 1)
+        off = k - pc_win[il]
+        dd_win = jax.lax.dynamic_slice_in_dim(
+            dag_dst, jnp.minimum(i0, dag_dst.shape[0] - d_win), d_win)
+        dbase = jnp.minimum(i0, dag_dst.shape[0] - d_win)
+        b = dd_win[jnp.clip(i - dbase, 0, d_win - 1)]
+        j = i + 1 + off
+        c = dd_win[jnp.clip(j - dbase, 0, d_win - 1)]
+        h1 = _mix_hash(b, c, seed, hp, xp=jnp)
+        h2 = _mix_hash(b, c, seed ^ 0x5bd1e995, hs, xp=jnp)
+        hit = probe(prim, h1, b, c) | probe(sec, h2, b, c)
+        return limb_add(acc, jnp.sum((hit & valid).astype(jnp.int32)))
 
     return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
 
@@ -379,53 +609,139 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
     deg = np.diff(np.asarray(ctx.dag_begin))
     max_deg = int(deg.max(initial=1))
     bits = max(1, max_deg.bit_length()) + 1
+    eh = None
+    if ctx.num_wedges >= _HASH_MIN_W:
+        if "ehash" not in prep:
+            h = build_edge_hash(ctx)
+            prep["ehash"] = (jnp.asarray(h.prim), jnp.asarray(h.sec),
+                             h.seed)
+        eh = prep["ehash"]
+        if "ctx_perm" not in prep:
+            prep["ctx_perm"] = _permuted_ctx(ctx)
+        ctx = prep["ctx_perm"]
+    subs = list(_wedge_subranges(ctx))
+    hint = _global_pad_hint(subs, chunk, max_deg,
+                            int(ctx.dag_dst.shape[0]))
     total = 0
-    for lo, sub, samples, span_bits, pc_base in _wedge_subranges(ctx):
+    for lo, sub, samples, span_bits, pc_base in subs:
         total += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
                             jnp.asarray(samples), sub.num_wedges, chunk,
                             bits, span_bits, samples_np=samples,
-                            max_deg=max_deg, pc_base=pc_base)
+                            max_deg=max_deg, pc_base=pc_base,
+                            edge_hash=eh, pad_hint=hint)
     return total
+
+
+def _permuted_ctx(ctx: DagContext) -> DagContext:
+    """DagContext over the descending-pair row layout (hashed-membership
+    counting only: ``dag_begin`` here indexes ROW POSITIONS, not ranks,
+    so the binary-search fallback must never see this context)."""
+    dag_begin = np.asarray(ctx.dag_begin)
+    dag_dst = np.asarray(ctx.dag_dst)
+    D = ctx.num_dag_edges
+    perm_dst, cum, nb = descending_row_layout(dag_begin, dag_dst, D)
+    d_pad = int(dag_dst.shape[0])
+    n = dag_begin.shape[0] - 1
+    out_dst = np.full(d_pad, n, np.int32)
+    out_dst[:D] = perm_dst
+    pc = np.zeros(d_pad + 1, np.int64)
+    pc[: cum.shape[0]] = cum
+    if cum.shape[0] < d_pad + 1:
+        pc[cum.shape[0]:] = cum[-1]
+    return DagContext(
+        dag_begin=jnp.asarray(np.minimum(nb, 2**31 - 1)
+                              .astype(np.int32)),
+        dag_dst=jnp.asarray(out_dst),
+        pair_cum=jnp.asarray(np.minimum(pc, 2**31 - 1).astype(np.int32)),
+        num_wedges=ctx.num_wedges,
+        num_dag_edges=D,
+    )
+
+
+def _global_pad_hint(subs, chunk: int, max_deg: int, dd_len: int):
+    """One (pc_len, samples_len, s_max) pad/window target across every
+    wedge sub-range, so an 11-slice LJ count compiles ONE kernel instead
+    of one per distinct slice shape (the r4 2.8-vs-8.3 Mwedges/s gap)."""
+    chunk_eff = min(chunk, _DISPATCH_W)
+    while _DISPATCH_W % chunk_eff:
+        chunk_eff //= 2
+    pc_h = smp_h = sm_h = 1
+    for lo, sub, samples, span_bits, pc_base in subs:
+        pc_h = max(pc_h, 1 << max(
+            int(sub.pair_cum.shape[0]) - 1, 1).bit_length())
+        smp_h = max(smp_h, 1 << max(
+            int(samples.shape[0]) - 1, 1).bit_length())
+        qw = _quantized_windows(np.asarray(samples), sub.num_wedges,
+                                chunk_eff, max_deg, dd_len)
+        if qw is not None:
+            sm_h = max(sm_h, qw[0])
+    return (pc_h, smp_h, sm_h)
 
 
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
                bits: int, span_bits: int, samples_np=None,
-               max_deg=None, pc_base: int = 0) -> int:
+               max_deg=None, pc_base: int = 0, edge_hash=None,
+               pad_hint=None) -> int:
     """Drive the fixed-window kernel over one (sub)range: many short
     dispatches, one compile.  When the host-side samples and max degree
     are supplied and the slot windows are chunk-bounded, the expansion
     decode replaces the per-wedge window search (~2x fewer random HBM
-    gathers)."""
+    gathers); with ``edge_hash`` = (prim, sec, seed) device tables, the
+    row binary search is replaced by the 2-round hashed probe too."""
     chunk = min(chunk, _DISPATCH_W)
     while _DISPATCH_W % chunk:
         chunk //= 2
     nl = jnp.asarray(num_wedges, jnp.int32)
     pb = jnp.asarray(pc_base, jnp.int32)
     span_bits = -(-span_bits // 4) * 4      # quantize: share compiles
+    hint = tuple(pad_hint) + (1, 1, 0) if pad_hint is not None \
+        else (1, 1, 0)
+    pc_hint, smp_hint, sm_hint = hint[0], hint[1], hint[2]
     expand = None
     if samples_np is not None and max_deg is not None:
-        s_max, d_win = _window_bounds(np.asarray(samples_np),
-                                      num_wedges, chunk, int(max_deg))
-        # window work is contiguous (dynamic_slice + scatter into the
-        # chunk) — profitable until it dwarfs the ~12 random gathers
-        # per wedge it replaces
-        if s_max <= 8 * chunk:
-            # quantize the static window sizes to powers of two so
-            # consecutive sub-ranges REUSE one compiled kernel (every
-            # distinct static arg costs a ~40-60 s remote compile)
-            s_max = max(1 << max(s_max - 1, 1).bit_length(), 1 << 14)
-            d_win = s_max + (1 << max(int(max_deg) + 1, 1)
-                             .bit_length())
-            d_win = min(d_win, int(dd.shape[0]))
-            s_max = min(s_max, d_win)
-            expand = (s_max, d_win)
+        expand = _quantized_windows(np.asarray(samples_np), num_wedges,
+                                    chunk, int(max_deg),
+                                    int(dd.shape[0]), sm_hint)
+        if expand is not None:
+            s_max = expand[0]
             if pc.shape[0] < s_max + 8:
                 pc = jnp.concatenate([
                     pc, jnp.full((s_max + 8 - pc.shape[0],),
                                  num_wedges, pc.dtype)])
+    # pad the per-slice arrays to uniform (power-of-two, or the caller's
+    # global-maximum hint) lengths ON DEVICE: WITHOUT this, every
+    # sub-range ships differently-shaped pair_cum/samples and forces a
+    # fresh ~10-60 s remote compile per slice — the round-4 bench spent
+    # more wall-clock compiling slices than counting (2.8 avg vs 8.3
+    # peak Mwedges/s).  The pad is jnp.full on device, so transfer
+    # stays the true slice size.
+
+    def pad_to(a, fill, hint):
+        n = int(a.shape[0])
+        m = max(1 << max(n - 1, 1).bit_length(), hint)
+        if m > n:
+            a = jnp.concatenate([a, jnp.full((m - n,), fill, a.dtype)])
+        return a
+
+    samples = pad_to(samples, samples[-1], smp_hint)
+    pc = pad_to(pc, jnp.asarray(num_wedges, pc.dtype), pc_hint)
+    if edge_hash is not None and expand is None:
+        # the hashed caller may run on a row-PERMUTED layout whose
+        # dag_begin indexes row positions, not ranks — the search-decode
+        # fallback would silently count garbage there
+        raise RuntimeError(
+            "hashed membership requires the expansion-decode windows "
+            "(anchor spread too wide for chunk); widen chunk or drop "
+            "edge_hash")
     total = 0
     for k0 in range(0, num_wedges, _DISPATCH_W):
-        if expand is not None:
+        if expand is not None and edge_hash is not None:
+            prim, sec, seed = edge_hash
+            t = _count_wedges_hashed(
+                dd, pc, samples, prim, sec,
+                jnp.asarray(k0, jnp.int32), nl, pb, chunk,
+                expand[0], expand[1], seed)
+        elif expand is not None:
             t = _count_wedges_expand(
                 db, dd, pc, samples, jnp.asarray(k0, jnp.int32), nl,
                 pb, chunk, bits, expand[0], expand[1])

@@ -242,3 +242,162 @@ void gm_xorshift_lengths(int64_t n, int32_t mod, int32_t add,
 }
 }
 
+
+// ---------------------------------------------------------------------------
+// Triangle preprocessing (round-5): degree-rank DAG orientation, the
+// bucketed edge-hash fill, and the descending-pair row layout — native
+// versions of models/triangle.py's build_dag / build_edge_hash /
+// descending_row_layout (the numpy versions remain the fallback).
+// Reference analog: the one-time prepare()-phase index builds in
+// gm_graph.cc:205-468 (reverse edges, semi-sort).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Degree-ordered DAG from an UNDIRECTED CSR (rows semi-sorted by value,
+// duplicates allowed — deduped here).  Outputs rows indexed by RANK
+// (ascending degree, ties by id), row values = destination ranks,
+// sorted.  Returns D (kept edges) or -1 on bad input.
+int64_t gm_build_dag(const int32_t* begin, const int32_t* dst, int32_t n,
+                     int32_t* dag_begin, int32_t* dag_dst) {
+  std::vector<int32_t> order(n);
+  for (int32_t v = 0; v < n; ++v) order[v] = v;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    int32_t da = begin[a + 1] - begin[a], db = begin[b + 1] - begin[b];
+    return da != db ? da < db : a < b;
+  });
+  std::vector<int32_t> rank(n);
+  for (int32_t r = 0; r < n; ++r) rank[order[r]] = r;
+
+  // pass 1: kept-edge count per rank row (dedup consecutive values —
+  // rows are semi-sorted)
+  std::vector<int64_t> cnt(static_cast<size_t>(n) + 1, 0);
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int32_t v = 0; v < n; ++v) {
+    int32_t rv = rank[v];
+    int64_t c = 0;
+    int32_t prev = -1;
+    for (int32_t k = begin[v]; k < begin[v + 1]; ++k) {
+      int32_t u = dst[k];
+      if (u == prev) continue;
+      prev = u;
+      if (u < 0 || u >= n) continue;
+      if (rank[u] > rv) ++c;
+    }
+    cnt[rv] = c;
+  }
+  int64_t run = 0;
+  for (int32_t r = 0; r <= n; ++r) {
+    int64_t c = (r < n) ? cnt[r] : 0;
+    dag_begin[r] = static_cast<int32_t>(run);
+    cnt[r] = run;
+    run += c;
+  }
+  // pass 2: fill + sort each rank row
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int32_t v = 0; v < n; ++v) {
+    int32_t rv = rank[v];
+    int64_t w = cnt[rv];
+    int32_t prev = -1;
+    for (int32_t k = begin[v]; k < begin[v + 1]; ++k) {
+      int32_t u = dst[k];
+      if (u == prev) continue;
+      prev = u;
+      if (u < 0 || u >= n) continue;
+      if (rank[u] > rv) dag_dst[w++] = rank[u];
+    }
+    std::sort(dag_dst + cnt[rv], dag_dst + w);
+  }
+  return run;
+}
+
+// Bucketed two-level hash fill of the D dag edges (rank_src, rank_dst).
+// prim: [hp * 16] int32 (8 slots x (b, c)), sec: [hs * 32] (16 slots).
+// Deterministic (slot-order insertion, matching the numpy stable fill).
+// Returns number of keys that fit NOWHERE (0 = success).
+static inline uint32_t gm_mix_(uint32_t b, uint32_t c, uint32_t seed) {
+  uint32_t u = b * 0x9E3779B1u ^ c * 0x85EBCA77u ^ seed;
+  u ^= u >> 16;
+  u *= 0xC2B2AE35u;
+  u ^= u >> 13;
+  return u;
+}
+
+int64_t gm_hash_fill(const int32_t* dag_begin, const int32_t* dag_dst,
+                     int32_t n, int64_t d, int64_t hp, int64_t hs,
+                     uint32_t seed, int32_t* prim, int32_t* sec) {
+  std::fill(prim, prim + hp * 16, -1);
+  std::fill(sec, sec + hs * 32, -1);
+  std::vector<int32_t> h1(static_cast<size_t>(d));
+  std::vector<int32_t> bsrc(static_cast<size_t>(d));
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < n; ++r) {
+    for (int32_t k = dag_begin[r]; k < dag_begin[r + 1]; ++k) {
+      bsrc[k] = r;
+      h1[k] = static_cast<int32_t>(
+          gm_mix_(static_cast<uint32_t>(r),
+                  static_cast<uint32_t>(dag_dst[k]), seed) %
+          static_cast<uint32_t>(hp));
+    }
+  }
+  std::vector<int8_t> pcnt(static_cast<size_t>(hp), 0);
+  std::vector<int64_t> over;
+  for (int64_t k = 0; k < d; ++k) {
+    int64_t b = h1[k];
+    if (pcnt[b] < 8) {
+      int64_t slot = b * 16 + pcnt[b] * 2;
+      prim[slot] = bsrc[k];
+      prim[slot + 1] = dag_dst[k];
+      pcnt[b]++;
+    } else {
+      over.push_back(k);
+    }
+  }
+  std::vector<int8_t> scnt(static_cast<size_t>(hs), 0);
+  int64_t fail = 0;
+  uint32_t seed2 = seed ^ 0x5bd1e995u;
+  for (int64_t k : over) {
+    int64_t b = gm_mix_(static_cast<uint32_t>(bsrc[k]),
+                        static_cast<uint32_t>(dag_dst[k]), seed2) %
+        static_cast<uint32_t>(hs);
+    if (scnt[b] < 16) {
+      int64_t slot = b * 32 + scnt[b] * 2;
+      sec[slot] = bsrc[k];
+      sec[slot + 1] = dag_dst[k];
+      scnt[b]++;
+    } else {
+      ++fail;
+    }
+  }
+  return fail;
+}
+
+// Descending-pair row layout: rows reordered by pairs = deg*(deg-1)/2
+// descending (stable), rows copied contiguously.  nb[n+1] = permuted
+// row offsets; perm_dst[d] = permuted destination ranks.
+void gm_desc_layout(const int32_t* dag_begin, const int32_t* dag_dst,
+                    int32_t n, int32_t* perm_dst, int32_t* nb) {
+  std::vector<int32_t> order(n);
+  for (int32_t v = 0; v < n; ++v) order[v] = v;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) {
+    int64_t da = dag_begin[a + 1] - dag_begin[a];
+    int64_t db = dag_begin[b + 1] - dag_begin[b];
+    return da * (da - 1) / 2 > db * (db - 1) / 2;
+  });
+  std::vector<int64_t> starts(static_cast<size_t>(n) + 1, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = order[i];
+    starts[i + 1] = starts[i] + (dag_begin[v + 1] - dag_begin[v]);
+  }
+  for (int32_t v = 0; v <= n; ++v) nb[v] = static_cast<int32_t>(starts[v]);
+#pragma omp parallel for schedule(dynamic, 4096)
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = order[i];
+    std::memcpy(perm_dst + starts[i], dag_dst + dag_begin[v],
+                sizeof(int32_t) *
+                    (dag_begin[v + 1] - dag_begin[v]));
+  }
+}
+
+}  // extern "C" (continued)

@@ -1,0 +1,115 @@
+"""On-TPU probe: full LJ-scale triangle count through the 2-round
+hashed-membership kernel (round-5 verdict item 2).
+
+Loads the cached DAG (data/rmat_lj_tri.npz) + the prebuilt edge hash
+(/tmp/ehash_lj.npz or rebuilds), transfers once, then counts every
+wedge sub-range, reporting per-slice wall/Mwedges-per-s and the final T
+(golden: 9,346,475 from the binary-search path, 4x confirmed r4).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import green_marl_tpu.models.triangle as T  # noqa: E402
+
+d = np.load("/root/repo/data/rmat_lj_tri.npz")
+dag_begin = d["dag_begin"]
+dag_dst = d["dag_dst"]
+D = int(d["D"])
+
+if os.path.exists("/tmp/ehash_lj.npz"):
+    z = np.load("/tmp/ehash_lj.npz")
+    prim, sec, seed = z["prim"], z["sec"], int(z["seed"])
+    print(f"# hash loaded: prim {prim.nbytes/1e9:.2f}GB "
+          f"sec {sec.nbytes/1e6:.0f}MB", flush=True)
+else:
+    class Ctx:
+        pass
+    Ctx.dag_begin, Ctx.dag_dst, Ctx.num_dag_edges = dag_begin, dag_dst, D
+    t0 = time.time()
+    eh = T.build_edge_hash(Ctx)
+    prim, sec, seed = eh.prim, eh.sec, eh.seed
+    print(f"# hash built {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+float(jnp.zeros((), jnp.float32) + 1)
+print(f"# tunnel init {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+perm_dst, cum, _nb = T.descending_row_layout(dag_begin, dag_dst, D)
+print(f"# descending-row layout {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+prim_d = jax.device_put(prim)
+sec_d = jax.device_put(sec)
+pad = np.zeros(int(dag_dst.shape[0]) - perm_dst.shape[0], np.int32)
+dd = jax.device_put(np.concatenate([perm_dst, pad]))
+db = jax.device_put(dag_begin)      # unused by hashed path
+jax.block_until_ready(prim_d)
+print(f"# transfer {(prim.nbytes+sec.nbytes+dag_dst.nbytes)/1e6:.0f}MB "
+      f"in {time.time()-t0:.1f}s", flush=True)
+
+deg = np.diff(dag_begin.astype(np.int64))
+num_w = int(cum[-1])
+bits = max(1, int(deg.max(initial=1)).bit_length()) + 1
+max_deg = int(deg.max(initial=1))
+print(f"# wedges {num_w} D {D} max_deg {max_deg}", flush=True)
+
+LIMIT = min(T._SUBRANGE_LIMIT, 1 << 27)
+chunk = int(os.environ.get("TRI_CHUNK", str(1 << 18)))
+eh_dev = (prim_d, sec_d, seed)
+
+bounds = []
+s0 = 0
+while cum[min(s0, D)] < num_w:
+    s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
+    s1 = max(min(s1 - 1, D), s0 + 1)
+    if cum[s1] - cum[s0] <= 0:
+        break
+    bounds.append((s0, s1))
+    s0 = s1
+subs = []
+for s0, s1 in bounds:
+    n_w = int(cum[s1] - cum[s0])
+    pcv = np.clip(cum[s0: s1 + 2] - cum[s0], 0, n_w)
+    smp, span_bits = T._anchor_samples(pcv, n_w)
+    smp = (smp.astype(np.int64) + s0).astype(np.int32)
+    subs.append((s0, n_w, pcv, smp, span_bits))
+pc_h = max(1 << max(len(s[2]) - 1, 1).bit_length() for s in subs)
+smp_h = max(1 << max(len(s[3]) - 1, 1).bit_length() for s in subs)
+sm_h = 1
+for s0, n_w, pcv, smp, span_bits in subs:
+    qw = T._quantized_windows(smp, n_w, chunk, max_deg,
+                              int(dag_dst.shape[0]))
+    if qw is not None:
+        sm_h = max(sm_h, qw[0])
+hint = (pc_h, smp_h, sm_h)
+print(f"# pad hint pc={pc_h} smp={smp_h} s_max={sm_h}", flush=True)
+
+total = 0
+covered = 0
+t_all = time.time()
+for s0, n_w, pcv, smp, span_bits in subs:
+    pc = jax.device_put(pcv.astype(np.int32))
+    smp_d = jax.device_put(smp)
+    t0 = time.time()
+    t = T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
+                     span_bits, samples_np=smp, max_deg=max_deg,
+                     pc_base=s0, edge_hash=eh_dev, pad_hint=hint)
+    dt = time.time() - t0
+    total += t
+    covered += n_w
+    print(f"# slice [{s0}..] w={n_w} t={t} {dt:.1f}s "
+          f"{n_w/dt/1e6:.1f} Mw/s", flush=True)
+dt_all = time.time() - t_all
+print(f"TOTAL T={total} wedges={covered} {dt_all:.1f}s "
+      f"{covered/dt_all/1e6:.2f} Mwedges/s "
+      f"(golden 9346475, match={total == 9346475})", flush=True)
