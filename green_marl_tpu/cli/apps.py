@@ -9,6 +9,7 @@ plus sssp / conductance / cc drivers on the same pattern.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict
 
@@ -711,15 +712,17 @@ def make_bidir_dijkstra() -> UserMain:
         w[: g.num_edges] = np.asarray(ctx.edge_props["Weight"])
         s = int(ctx.scalars["src"])
         t = int(ctx.scalars["dst"])
-        if g.num_nodes <= 100_000:
-            # literal DSL program (host-eager priority maps)
+        gm_path = "/root/reference/apps/src/bidir_dijkstra.gm"
+        if os.path.exists(gm_path):
+            # literal DSL program — the round-5 idiom recognizer lowers
+            # the two-map pop-min loop to forward+reverse device
+            # Bellman-Ford (lang/lower_priority.try_bidir_while), so the
+            # old 100k host-eager scale cap is gone
             import warnings as _w
             from ..lang.lower import compile_file
             with _w.catch_warnings():
                 _w.simplefilter("ignore")
-                out = compile_file(
-                    "/root/reference/apps/src/bidir_dijkstra.gm")(
-                        g, Weight=w, src=s, dst=t)
+                out = compile_file(gm_path)(g, Weight=w, src=s, dst=t)
             found = bool(out["_return"])
             par = np.asarray(out["Parent"])[: g.num_nodes]
             pare = np.asarray(out["ParentEdge"])[: g.num_nodes]
