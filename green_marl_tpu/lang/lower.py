@@ -389,7 +389,12 @@ def written_keys(stmt) -> Set[str]:
                     c.name.lower() in _MUTATE_METHODS:
                 out.add(_F + c.driver_field.prop)
         elif isinstance(s, A.ForeignStmt):
-            pass
+            for m in s.mutated:
+                nm = getattr(m, "name", None)
+                if nm is not None:
+                    out.add(nm)
+                elif isinstance(m, A.Field):
+                    out.add(_F + m.prop)
         else:
             raise LowerError(f"unknown statement {type(s).__name__}")
 
@@ -690,7 +695,19 @@ class Lowerer:
         if isinstance(e, A.ReduceExpr):
             return self._reduce_expr(e, env, ctx)
         if isinstance(e, A.Foreign):
-            raise LowerError("foreign C++ escapes are not lowerable")
+            # host-native execution: the text is compiled by g++ and
+            # called on concrete scalars (lang/foreign.py; the reference
+            # splices it into its generated .cc the same way)
+            if self.axis is not None or ctx is not None:
+                raise LowerError(
+                    "foreign C++ expression inside a parallel/sharded "
+                    "context is not lowerable (the reference GPS "
+                    "backend rejects foreign text too)")
+            from . import foreign as _foreign
+            try:
+                return _foreign.eval_expr(self, e, env)
+            except _foreign.ForeignError as fe:
+                raise LowerError(str(fe)) from None
         raise LowerError(f"unknown expression {type(e).__name__}")
 
     @staticmethod
@@ -1223,7 +1240,16 @@ class Lowerer:
         elif isinstance(s, A.CallStmt):
             self._exec_call(s.call, env, ctx)
         elif isinstance(s, A.ForeignStmt):
-            raise LowerError("foreign C++ statement not lowerable")
+            if self.axis is not None or ctx is not None:
+                raise LowerError(
+                    "foreign C++ statement inside a parallel/sharded "
+                    "context is not lowerable (the reference GPS "
+                    "backend rejects foreign text too)")
+            from . import foreign as _foreign
+            try:
+                _foreign.exec_stmt(self, s, env)
+            except _foreign.ForeignError as fe:
+                raise LowerError(str(fe)) from None
         elif isinstance(s, A.BFS):
             self._exec_bfs(s, env, ctx)
         else:
