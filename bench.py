@@ -58,7 +58,7 @@ SS_ITERS = 10         # single-instance PageRank iterations
 BASELINE_GTEPS = 5.0
 PREP_VERSION = 3     # bump when the binned schedule format changes
 TRI = os.path.join(DDIR, "rmat_lj_tri.npz")
-TRI_VERSION = 3      # triangle cache (v3: descending-row layout + hash)
+TRI_VERSION = 4      # triangle cache (v4: one-level wide 512B-row hash)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     N, M = 100_000, 1_600_000
@@ -97,6 +97,15 @@ def _is_oom(e):
     return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
 
 
+class _SubShim:
+    """Duck-typed sub-range view for ``T._class_pad_hints`` (which
+    reads only ``pair_cum.shape[0]`` and ``num_wedges``)."""
+
+    def __init__(self, pcv, n_w):
+        self.pair_cum = pcv
+        self.num_wedges = n_w
+
+
 def triangle_lj(arrs):
     """LJ-scale triangle count on the chip: symmetrize the bench graph,
     build (or load) the degree-oriented DAG + the 2-round membership
@@ -113,15 +122,17 @@ def triangle_lj(arrs):
         log(f"# triangle cache: D={int(d['D'])}")
         dag_begin, dag_dst = d["dag_begin"], d["dag_dst"]
         D = int(d["D"])
-        prim, sec, seed = d["prim"], d["sec"], int(d["seed"])
+        wide, seed = d["wide"], int(d["seed"])
     else:
         t0 = time.time()
         if d is not None and "dag_begin" in d.files and \
-                "prim" not in d.files:
+                "wide" not in d.files and "prim" not in d.files:
             # v1 cache: rank-ordered DAG present; derive layout + hash
             rank_begin, rank_dst = d["dag_begin"], d["dag_dst"]
             D = int(d["D"])
         else:
+            # no cache, or a v2/v3 cache whose dst is already row-
+            # permuted (rank rows unrecoverable) — rebuild from edges
             from green_marl_tpu.graph.csr import from_edges, \
                 to_undirected
             e = np.load(EDGES)
@@ -141,7 +152,7 @@ def triangle_lj(arrs):
             rank_begin, rank_dst, D
         # hash keys are (rank, rank) pairs — row order irrelevant
         eh = T.build_edge_hash(_Ctx)
-        prim, sec, seed = eh.prim, eh.sec, eh.seed
+        wide, seed = eh.wide, eh.seed
         # descending-pair row layout: compact decode windows on every
         # slice (measured 146 s vs 479 s full LJ count)
         perm_dst, _cum, nb = T.descending_row_layout(rank_begin,
@@ -151,7 +162,7 @@ def triangle_lj(arrs):
         dag_begin = nb.astype(np.int64)
         np.savez(TRI, version=np.int64(TRI_VERSION),
                  dag_begin=dag_begin, dag_dst=dag_dst, D=np.int64(D),
-                 prim=prim, sec=sec, seed=np.int64(seed))
+                 wide=wide, seed=np.int64(seed))
         log(f"# triangle layout+hash build {time.time()-t0:.1f}s "
             "(cached)")
 
@@ -169,9 +180,9 @@ def triangle_lj(arrs):
     t0 = time.time()
     db = jax.device_put(dag_begin.astype(np.int32))
     dd = jax.device_put(dag_dst)
-    eh_dev = (jax.device_put(prim), jax.device_put(sec), seed)
+    eh_dev = (jax.device_put(wide), seed)
     jax.block_until_ready(eh_dev[0])
-    tri_mb = (prim.nbytes + sec.nbytes + dag_dst.nbytes) / 1e6
+    tri_mb = (wide.nbytes + dag_dst.nbytes) / 1e6
     log(f"# triangle transfer {tri_mb:.0f}MB in {time.time()-t0:.1f}s")
     total = 0
     covered = 0
@@ -183,11 +194,14 @@ def triangle_lj(arrs):
     # budget guard stays as a hostile-session backstop
     budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "600"))
     max_deg = int(deg.max(initial=1))
-    chunk = 1 << 18
+    # 2^17 wedges/chunk: the measured throughput knee of the wide-probe
+    # kernel (36 ns/wedge; 2^18 costs 40, 2^19 costs 42 — probe_tri_prof)
+    chunk = 1 << 17
 
-    # precompute slice bounds -> one global pad/window hint -> ONE
-    # compiled kernel across all slices (the r4 2.8 Mwedges/s drag was
-    # per-slice recompiles)
+    # precompute slice bounds -> per-window-class pad hints: slices
+    # sharing a quantized anchor window share ONE compiled kernel (LJ:
+    # 3 classes); the r5 single global hint ran every slice at the
+    # worst slice's window (12 vs 27.5 Mwedges/s)
     bounds = []
     while cum[min(s0, D)] < num_w:
         s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
@@ -203,17 +217,12 @@ def triangle_lj(arrs):
         smp, span_bits = T._anchor_samples(pcv, n_w)
         smp = (smp.astype(np.int64) + s0).astype(np.int32)
         subs.append((s0, n_w, pcv, smp, span_bits))
-    pc_h = max(1 << max(len(s[2]) - 1, 1).bit_length() for s in subs)
-    smp_h = max(1 << max(len(s[3]) - 1, 1).bit_length() for s in subs)
-    sm_h = 1
-    for s0, n_w, pcv, smp, span_bits in subs:
-        qw = T._quantized_windows(smp, n_w, chunk, max_deg,
-                                  int(dag_dst.shape[0]))
-        if qw is not None:
-            sm_h = max(sm_h, qw[0])
-    hint = (pc_h, smp_h, sm_h)
+    hint_subs = [(s0, _SubShim(pcv, n_w), smp, span_bits, s0)
+                 for s0, n_w, pcv, smp, span_bits in subs]
+    hints = T._class_pad_hints(hint_subs, chunk, max_deg,
+                               int(dag_dst.shape[0]))
 
-    for s0, n_w, pcv, smp, span_bits in subs:
+    for (s0, n_w, pcv, smp, span_bits), hint in zip(subs, hints):
         pc = jax.device_put(pcv.astype(np.int32))
         smp_d = jax.device_put(smp)
         total += T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,

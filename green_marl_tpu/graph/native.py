@@ -156,6 +156,12 @@ def _bind_tri(lib):
         lib.gm_desc_layout.restype = None
         lib.gm_desc_layout.argtypes = [i32p, i32p, ctypes.c_int32,
                                        i32p, i32p]
+        lib.gm_hash_fill_wide.restype = ctypes.c_int64
+        lib.gm_hash_fill_wide.argtypes = [i32p, i32p, ctypes.c_int32,
+                                          ctypes.c_int64,
+                                          ctypes.c_int64,
+                                          ctypes.c_int32,
+                                          ctypes.c_uint32, i32p]
     except AttributeError:          # stale .so
         return False
     lib._tri_bound = True
@@ -193,6 +199,22 @@ def hash_fill(dag_begin: np.ndarray, dag_dst: np.ndarray, n: int,
     fail = lib.gm_hash_fill(_ptr(dag_begin), _ptr(dag_dst), n, d, hp,
                             hs, np.uint32(seed), _ptr(prim), _ptr(sec))
     return prim, sec, int(fail)
+
+
+def hash_fill_wide(dag_begin: np.ndarray, dag_dst: np.ndarray, n: int,
+                   d: int, hw: int, slots: int, seed: int):
+    """One-level wide bucketed hash fill (native): ``slots`` (b, c)
+    pairs per bucket, one bucket = one contiguous ``2*slots``-int32
+    row.  Returns (wide [hw, 2*slots], fail_count) or None."""
+    lib = _load()
+    if lib is None or not _bind_tri(lib):
+        return None
+    dag_begin = np.ascontiguousarray(dag_begin, np.int32)
+    dag_dst = np.ascontiguousarray(dag_dst, np.int32)
+    wide = np.empty((hw, 2 * slots), np.int32)
+    fail = lib.gm_hash_fill_wide(_ptr(dag_begin), _ptr(dag_dst), n, d,
+                                 hw, slots, np.uint32(seed), _ptr(wide))
+    return wide, int(fail)
 
 
 def desc_layout(dag_begin: np.ndarray, dag_dst: np.ndarray, n: int,

@@ -302,16 +302,21 @@ def _count_wedges_expand(dag_begin, dag_dst, pair_cum, samples, k0,
 # ---------------------------------------------------------------------------
 # Hashed membership (round-5): the binary search costs ~13 DEPENDENT
 # random-gather rounds per wedge (log2 max_deg), and the measured
-# per-row gather issue rate (~9.5 ns, probe_gather3) makes those rounds
-# the whole cost — 8.3 Mwedges/s at best.  A bucketed hash of all DAG
-# edges (b, c) answers membership in TWO fixed gather rounds (primary +
-# overflow bucket, each one contiguous 64 B row fetch), ~6x fewer
-# dependent rounds.  Build is vectorized host numpy, cached like the
-# DAG itself (the reference builds its edge indexes once in prepare()
-# too, gm_graph.cc:205-296).
+# per-row gather issue rate (probe_gather3) makes those rounds the
+# whole cost — 8.3 Mwedges/s at best.  A bucketed hash of all DAG
+# edges (b, c) answers membership in ONE fixed gather round.  Bucket
+# geometry matters more than probe count on TPU: 64 key pairs per
+# bucket = one 512 B row = one full 128-lane vector register per
+# gathered row.  The original two-level 8-pair/64 B-bucket design
+# gathered at ~2.8 ns/ELEMENT (45 ns/probe); the wide single-level
+# row gathers at ~17 ns/probe INCLUDING the 128-wide compare
+# (scripts/probe_tri_prof.py, measured on-chip).  Build is native
+# OpenMP (gm_hash_fill_wide) with a vectorized-numpy fallback, cached
+# like the DAG itself (the reference builds its edge indexes once in
+# prepare() too, gm_graph.cc:205-296).
 # ---------------------------------------------------------------------------
 
-_HB = 8                      # slots per bucket (one [16]-int32 row fetch)
+_HB = 64                     # key pairs per bucket (one 512 B row fetch)
 _H_EMPTY = np.int32(-1)
 # hashed membership pays a table build + ~2x edge memory; profitable
 # once the wedge space dwarfs the edge set (tests shrink this)
@@ -334,8 +339,7 @@ def _mix_hash(b, c, seed, nbuckets, xp=np):
 
 
 class EdgeHash(NamedTuple):
-    prim: np.ndarray        # [Hp, 2*_HB] int32, slot j -> (b, c) at 2j, 2j+1
-    sec: np.ndarray         # [Hs, 2*_HB] int32 overflow table
+    wide: np.ndarray        # [Hw, 2*_HB] int32, slot j -> (b, c) at 2j, 2j+1
     seed: int
 
 
@@ -362,47 +366,46 @@ def _fill_table(b, c, h, nbuckets, slots=_HB):
     return table, over
 
 
-def build_edge_hash(ctx: DagContext, alpha: float = 0.5) -> EdgeHash:
-    """Two-level bucketed hash of every DAG edge (src_rank, dst_rank).
+_H_SEEDS = (0x1234ABCD, 0x7F4A7C15, 0x2545F491, 0x0DEADBEE)
 
-    Primary: bucket-8 (one 64 B row fetch), load ``alpha``.  Secondary
-    takes primary overflow (~0.8% of keys at alpha=0.5) into bucket-16
-    rows (128 B fetch) at load ~1/8 — P(secondary overflow) is ~1e-11
-    per bucket, and three seed retries cover even that."""
+
+def build_edge_hash(ctx: DagContext, alpha: float = 0.5) -> EdgeHash:
+    """One-level wide bucketed hash of every DAG edge
+    (src_rank, dst_rank): ``_HB`` = 64 key pairs per bucket, one bucket
+    = one 512 B row, load ``alpha`` (mean occupancy 32 at 0.5 —
+    P(bucket overflow) ~ Poisson(32) beyond 64 ≈ 1e-7, so a handful of
+    seed retries finds a zero-overflow table; same 16 bytes/key
+    footprint as the earlier two-level design with HALF the probe
+    gathers and TPU-native 512 B row geometry)."""
     dag_begin = np.asarray(ctx.dag_begin).astype(np.int64)
     D = ctx.num_dag_edges
     c = np.asarray(ctx.dag_dst)[:D].astype(np.int32)
     n = dag_begin.shape[0] - 1
-    hp = max(int(D / alpha / _HB) + 1, 8)
+    hw = max(int(D / alpha / _HB) + 1, 8)
 
     from ..graph import native
     if native.available():
-        # secondary sized like the numpy path would (overflow ~0.84% at
-        # alpha=0.5; 4x headroom at 16 slots/bucket)
-        hs = max(int(D * 0.02) // 2 + 9, 8)
-        for seed in (0x1234ABCD, 0x7F4A7C15, 0x2545F491):
-            r = native.hash_fill(dag_begin.astype(np.int32), c, n, D,
-                                 hp, hs, seed)
+        for seed in _H_SEEDS:
+            r = native.hash_fill_wide(dag_begin.astype(np.int32), c, n,
+                                      D, hw, _HB, seed)
             if r is None:
                 break
-            prim, sec, fail = r
+            wide, fail = r
             if fail == 0:
-                return EdgeHash(prim=prim, sec=sec, seed=seed)
+                return EdgeHash(wide=wide, seed=seed)
         else:
-            raise RuntimeError("edge-hash build: overflow after 3 seeds")
+            raise RuntimeError(
+                f"edge-hash build: overflow after {len(_H_SEEDS)} seeds")
 
     deg = np.diff(dag_begin)
     b = np.repeat(np.arange(n, dtype=np.int32), deg)
-    for seed in (0x1234ABCD, 0x7F4A7C15, 0x2545F491):
-        h1 = _mix_hash(b, c, seed, hp)
-        prim, over = _fill_table(b, c, h1, hp)
-        bo, co = b[over], c[over]
-        hs = max(bo.shape[0] // 2 + 9, 8)
-        h2 = _mix_hash(bo, co, seed ^ 0x5bd1e995, hs)
-        sec, over2 = _fill_table(bo, co, h2, hs, slots=2 * _HB)
-        if not over2.any():
-            return EdgeHash(prim=prim, sec=sec, seed=seed)
-    raise RuntimeError("edge-hash build: overflow after 3 seeds")
+    for seed in _H_SEEDS:
+        h1 = _mix_hash(b, c, seed, hw)
+        wide, over = _fill_table(b, c, h1, hw)
+        if not over.any():
+            return EdgeHash(wide=wide, seed=seed)
+    raise RuntimeError(
+        f"edge-hash build: overflow after {len(_H_SEEDS)} seeds")
 
 
 def descending_row_layout(dag_begin: np.ndarray, dag_dst: np.ndarray,
@@ -448,20 +451,19 @@ def descending_row_layout(dag_begin: np.ndarray, dag_dst: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=("chunk", "s_max", "d_win", "seed"))
-def _count_wedges_hashed(dag_dst, pair_cum, samples, prim, sec, k0,
+def _count_wedges_hashed(dag_dst, pair_cum, samples, wide, k0,
                          n_limit, pc_base, chunk: int, s_max: int,
                          d_win: int, seed: int) -> jax.Array:
     """Expansion decode (see ``_count_wedges_expand``) + hashed
-    membership: per wedge ONE [16]-word primary bucket fetch and one
-    secondary fetch — 2 dependent random-HBM rounds total vs ~13 for
-    the row binary search."""
+    membership: per wedge ONE 512 B bucket-row fetch (128 int32 = a
+    full vector register row) + a 64-wide VPU compare — vs ~13 random
+    rounds for the row binary search."""
     num_chunks = _DISPATCH_W // chunk
     n_marks = samples.shape[0]
-    hp = prim.shape[0]
-    hs = sec.shape[0]
+    hw = wide.shape[0]
 
     def probe(table, h, b, c):
-        rows = table[h]                              # [chunk, 16]
+        rows = table[h]                              # [chunk, 2*_HB]
         kb = rows[:, 0::2]
         kc = rows[:, 1::2]
         return jnp.any((kb == b[:, None]) & (kc == c[:, None]), axis=1)
@@ -490,9 +492,8 @@ def _count_wedges_hashed(dag_dst, pair_cum, samples, prim, sec, k0,
         b = dd_win[jnp.clip(i - dbase, 0, d_win - 1)]
         j = i + 1 + off
         c = dd_win[jnp.clip(j - dbase, 0, d_win - 1)]
-        h1 = _mix_hash(b, c, seed, hp, xp=jnp)
-        h2 = _mix_hash(b, c, seed ^ 0x5bd1e995, hs, xp=jnp)
-        hit = probe(prim, h1, b, c) | probe(sec, h2, b, c)
+        h1 = _mix_hash(b, c, seed, hw, xp=jnp)
+        hit = probe(wide, h1, b, c)
         return limb_add(acc, jnp.sum((hit & valid).astype(jnp.int32)))
 
     return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
@@ -613,17 +614,20 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
     if ctx.num_wedges >= _HASH_MIN_W:
         if "ehash" not in prep:
             h = build_edge_hash(ctx)
-            prep["ehash"] = (jnp.asarray(h.prim), jnp.asarray(h.sec),
-                             h.seed)
+            prep["ehash"] = (jnp.asarray(h.wide), h.seed)
         eh = prep["ehash"]
+        # wide-probe throughput knee (probe_tri_prof: 36 ns/wedge at
+        # 2^17, rising ~10-17% at 2^18/2^19)
+        chunk = min(chunk, 1 << 17)
         if "ctx_perm" not in prep:
             prep["ctx_perm"] = _permuted_ctx(ctx)
         ctx = prep["ctx_perm"]
     subs = list(_wedge_subranges(ctx))
-    hint = _global_pad_hint(subs, chunk, max_deg,
-                            int(ctx.dag_dst.shape[0]))
+    hints = _class_pad_hints(subs, chunk, max_deg,
+                             int(ctx.dag_dst.shape[0]))
     total = 0
-    for lo, sub, samples, span_bits, pc_base in subs:
+    for (lo, sub, samples, span_bits, pc_base), hint in zip(subs,
+                                                            hints):
         total += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
                             jnp.asarray(samples), sub.num_wedges, chunk,
                             bits, span_bits, samples_np=samples,
@@ -658,24 +662,32 @@ def _permuted_ctx(ctx: DagContext) -> DagContext:
     )
 
 
-def _global_pad_hint(subs, chunk: int, max_deg: int, dd_len: int):
-    """One (pc_len, samples_len, s_max) pad/window target across every
-    wedge sub-range, so an 11-slice LJ count compiles ONE kernel instead
-    of one per distinct slice shape (the r4 2.8-vs-8.3 Mwedges/s gap)."""
+def _class_pad_hints(subs, chunk: int, max_deg: int, dd_len: int):
+    """Per-slice (pc_len, samples_len, s_max) pad/window targets,
+    GROUPED BY WINDOW CLASS: slices sharing a quantized anchor-window
+    size share one compiled kernel.  The round-5 global-maximum hint
+    compiled ONE kernel but forced every slice onto the worst slice's
+    window (LJ: 10/11 slices need s_max=16384, the sparse tail needs
+    524288 — the global hint ran them ALL at 12 Mwedges/s where the
+    local window runs 27.5, probe_tri_prof).  Per-class hints pay one
+    ~7 s remote compile per class (LJ: 3) and keep each slice at its
+    own window speed.  Returns a list of hints aligned with ``subs``."""
     chunk_eff = min(chunk, _DISPATCH_W)
     while _DISPATCH_W % chunk_eff:
         chunk_eff //= 2
-    pc_h = smp_h = sm_h = 1
+    qws = []
     for lo, sub, samples, span_bits, pc_base in subs:
-        pc_h = max(pc_h, 1 << max(
-            int(sub.pair_cum.shape[0]) - 1, 1).bit_length())
-        smp_h = max(smp_h, 1 << max(
-            int(samples.shape[0]) - 1, 1).bit_length())
         qw = _quantized_windows(np.asarray(samples), sub.num_wedges,
                                 chunk_eff, max_deg, dd_len)
-        if qw is not None:
-            sm_h = max(sm_h, qw[0])
-    return (pc_h, smp_h, sm_h)
+        qws.append(qw[0] if qw is not None else 0)
+    by_cls: dict = {}
+    for i, (lo, sub, samples, span_bits, pc_base) in enumerate(subs):
+        pc_h = 1 << max(int(sub.pair_cum.shape[0]) - 1, 1).bit_length()
+        smp_h = 1 << max(int(samples.shape[0]) - 1, 1).bit_length()
+        c = by_cls.setdefault(qws[i], [1, 1])
+        c[0] = max(c[0], pc_h)
+        c[1] = max(c[1], smp_h)
+    return [(by_cls[q][0], by_cls[q][1], max(q, 1)) for q in qws]
 
 
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
@@ -686,7 +698,7 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
     dispatches, one compile.  When the host-side samples and max degree
     are supplied and the slot windows are chunk-bounded, the expansion
     decode replaces the per-wedge window search (~2x fewer random HBM
-    gathers); with ``edge_hash`` = (prim, sec, seed) device tables, the
+    gathers); with ``edge_hash`` = (wide, seed) device table, the
     row binary search is replaced by the 2-round hashed probe too."""
     chunk = min(chunk, _DISPATCH_W)
     while _DISPATCH_W % chunk:
@@ -736,9 +748,9 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
     total = 0
     for k0 in range(0, num_wedges, _DISPATCH_W):
         if expand is not None and edge_hash is not None:
-            prim, sec, seed = edge_hash
+            wide, seed = edge_hash
             t = _count_wedges_hashed(
-                dd, pc, samples, prim, sec,
+                dd, pc, samples, wide,
                 jnp.asarray(k0, jnp.int32), nl, pb, chunk,
                 expand[0], expand[1], seed)
         elif expand is not None:

@@ -400,4 +400,45 @@ void gm_desc_layout(const int32_t* dag_begin, const int32_t* dag_dst,
   }
 }
 
+// One-level WIDE bucketed hash fill: wide is [hw * 2*slots] int32 —
+// `slots` (b, c) key pairs per bucket, one bucket = one contiguous
+// row.  With slots=64 a bucket is 512 B, the TPU gather shape that
+// maps a row onto a full 128-lane vector register (the two-level
+// 64 B-bucket layout gathers at ~2.8 ns/ELEMENT; this one at ~9.5
+// ns/ROW — measured scripts/probe_tri_prof.py).  Deterministic
+// slot-order insertion, matching the numpy stable fill.  Returns the
+// number of keys that did not fit (0 = success; caller retries seeds).
+int64_t gm_hash_fill_wide(const int32_t* dag_begin,
+                          const int32_t* dag_dst, int32_t n, int64_t d,
+                          int64_t hw, int32_t slots, uint32_t seed,
+                          int32_t* wide) {
+  std::fill(wide, wide + hw * 2 * slots, -1);
+  std::vector<int32_t> h1(static_cast<size_t>(d));
+  std::vector<int32_t> bsrc(static_cast<size_t>(d));
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < n; ++r) {
+    for (int32_t k = dag_begin[r]; k < dag_begin[r + 1]; ++k) {
+      bsrc[k] = r;
+      h1[k] = static_cast<int32_t>(
+          gm_mix_(static_cast<uint32_t>(r),
+                  static_cast<uint32_t>(dag_dst[k]), seed) %
+          static_cast<uint32_t>(hw));
+    }
+  }
+  std::vector<int16_t> cnt(static_cast<size_t>(hw), 0);
+  int64_t fail = 0;
+  for (int64_t k = 0; k < d; ++k) {
+    int64_t b = h1[k];
+    if (cnt[b] < slots) {
+      int64_t slot = b * 2 * slots + cnt[b] * 2;
+      wide[slot] = bsrc[k];
+      wide[slot + 1] = dag_dst[k];
+      cnt[b]++;
+    } else {
+      ++fail;
+    }
+  }
+  return fail;
+}
+
 }  // extern "C" (continued)

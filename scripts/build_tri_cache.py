@@ -20,7 +20,7 @@ DDIR = os.path.join(os.path.dirname(os.path.dirname(
 EDGES = os.path.join(DDIR, "rmat_lj.npz")
 TRI = os.path.join(DDIR, "rmat_lj_tri.npz")
 N = 4_800_000
-TRI_VERSION = 3
+TRI_VERSION = 4
 
 t0 = time.time()
 e = np.load(EDGES)
@@ -42,7 +42,7 @@ _Ctx.dag_begin, _Ctx.dag_dst, _Ctx.num_dag_edges = \
     rank_begin, rank_dst, D
 t0 = time.time()
 eh = T.build_edge_hash(_Ctx)
-prim, sec, seed = eh.prim, eh.sec, eh.seed
+wide, seed = eh.wide, eh.seed
 print(f"# hash build {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
@@ -52,5 +52,5 @@ dag_dst[:D] = perm_dst
 dag_begin = nb.astype(np.int64)
 np.savez(TRI, version=np.int64(TRI_VERSION),
          dag_begin=dag_begin, dag_dst=dag_dst, D=np.int64(D),
-         prim=prim, sec=sec, seed=np.int64(seed))
+         wide=wide, seed=np.int64(seed))
 print(f"# layout+save {time.time()-t0:.1f}s -> {TRI}", flush=True)

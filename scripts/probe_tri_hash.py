@@ -25,18 +25,16 @@ dag_begin = d["dag_begin"]
 dag_dst = d["dag_dst"]
 D = int(d["D"])
 
-if os.path.exists("/tmp/ehash_lj.npz"):
-    z = np.load("/tmp/ehash_lj.npz")
-    prim, sec, seed = z["prim"], z["sec"], int(z["seed"])
-    print(f"# hash loaded: prim {prim.nbytes/1e9:.2f}GB "
-          f"sec {sec.nbytes/1e6:.0f}MB", flush=True)
+if "wide" in d.files:
+    wide, seed = d["wide"], int(d["seed"])
+    print(f"# hash loaded: wide {wide.nbytes/1e9:.2f}GB", flush=True)
 else:
     class Ctx:
         pass
     Ctx.dag_begin, Ctx.dag_dst, Ctx.num_dag_edges = dag_begin, dag_dst, D
     t0 = time.time()
     eh = T.build_edge_hash(Ctx)
-    prim, sec, seed = eh.prim, eh.sec, eh.seed
+    wide, seed = eh.wide, eh.seed
     print(f"# hash built {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
@@ -44,17 +42,17 @@ float(jnp.zeros((), jnp.float32) + 1)
 print(f"# tunnel init {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
+# idempotent on a v4 cache (rows already in descending-pair order)
 perm_dst, cum, _nb = T.descending_row_layout(dag_begin, dag_dst, D)
 print(f"# descending-row layout {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
-prim_d = jax.device_put(prim)
-sec_d = jax.device_put(sec)
+wide_d = jax.device_put(wide)
 pad = np.zeros(int(dag_dst.shape[0]) - perm_dst.shape[0], np.int32)
 dd = jax.device_put(np.concatenate([perm_dst, pad]))
 db = jax.device_put(dag_begin)      # unused by hashed path
-jax.block_until_ready(prim_d)
-print(f"# transfer {(prim.nbytes+sec.nbytes+dag_dst.nbytes)/1e6:.0f}MB "
+jax.block_until_ready(wide_d)
+print(f"# transfer {(wide.nbytes+dag_dst.nbytes)/1e6:.0f}MB "
       f"in {time.time()-t0:.1f}s", flush=True)
 
 deg = np.diff(dag_begin.astype(np.int64))
@@ -65,7 +63,7 @@ print(f"# wedges {num_w} D {D} max_deg {max_deg}", flush=True)
 
 LIMIT = min(T._SUBRANGE_LIMIT, 1 << 27)
 chunk = int(os.environ.get("TRI_CHUNK", str(1 << 18)))
-eh_dev = (prim_d, sec_d, seed)
+eh_dev = (wide_d, seed)
 
 bounds = []
 s0 = 0
@@ -83,21 +81,25 @@ for s0, s1 in bounds:
     smp, span_bits = T._anchor_samples(pcv, n_w)
     smp = (smp.astype(np.int64) + s0).astype(np.int32)
     subs.append((s0, n_w, pcv, smp, span_bits))
-pc_h = max(1 << max(len(s[2]) - 1, 1).bit_length() for s in subs)
-smp_h = max(1 << max(len(s[3]) - 1, 1).bit_length() for s in subs)
-sm_h = 1
-for s0, n_w, pcv, smp, span_bits in subs:
-    qw = T._quantized_windows(smp, n_w, chunk, max_deg,
-                              int(dag_dst.shape[0]))
-    if qw is not None:
-        sm_h = max(sm_h, qw[0])
-hint = (pc_h, smp_h, sm_h)
-print(f"# pad hint pc={pc_h} smp={smp_h} s_max={sm_h}", flush=True)
+
+
+class _Shim:
+    def __init__(self, pcv, n_w):
+        self.pair_cum = pcv
+        self.num_wedges = n_w
+
+
+hints = T._class_pad_hints(
+    [(s0, _Shim(pcv, n_w), smp, sb, s0)
+     for s0, n_w, pcv, smp, sb in subs],
+    chunk, max_deg, int(dag_dst.shape[0]))
+print(f"# window classes: {sorted(set(h[2] for h in hints))}",
+      flush=True)
 
 total = 0
 covered = 0
 t_all = time.time()
-for s0, n_w, pcv, smp, span_bits in subs:
+for (s0, n_w, pcv, smp, span_bits), hint in zip(subs, hints):
     pc = jax.device_put(pcv.astype(np.int32))
     smp_d = jax.device_put(smp)
     t0 = time.time()

@@ -196,7 +196,8 @@ class TestTriangles:
         assert m_tri.triangle_count(g, chunk=256) == want
 
     def test_edge_hash_build_exact(self):
-        """Every DAG edge is findable in (prim | sec); absent pairs miss."""
+        """Every DAG edge is stored in the wide table exactly; absent
+        pairs miss; every stored key sits in its hash bucket."""
         src, dst = gen.rmat_edges(300, 3000, seed=9)
         src, dst = to_undirected(src, dst)
         keep = src != dst
@@ -209,13 +210,19 @@ class TestTriangles:
         b = np.repeat(np.arange(len(dag_begin) - 1, dtype=np.int32),
                       np.diff(dag_begin))
         keys = set(zip(b.tolist(), c.tolist()))
-        stored = set()
-        for table in (eh.prim, eh.sec):
-            flat = table.reshape(-1, 2)
-            live = flat[:, 0] >= 0
-            stored |= set(zip(flat[live, 0].tolist(),
-                              flat[live, 1].tolist()))
+        flat = eh.wide.reshape(-1, 2)
+        live = flat[:, 0] >= 0
+        stored = set(zip(flat[live, 0].tolist(),
+                         flat[live, 1].tolist()))
         assert stored == keys
+        # bucket placement honors the probe hash
+        hw = eh.wide.shape[0]
+        for bk, ck in list(keys)[:50]:
+            h = int(m_tri._mix_hash(np.int32(bk), np.int32(ck),
+                                    eh.seed, hw))
+            row = eh.wide[h].reshape(-1, 2)
+            assert (bk, ck) in set(zip(row[:, 0].tolist(),
+                                       row[:, 1].tolist()))
 
 
 class TestConductance:
@@ -334,10 +341,14 @@ class TestTriangleNativePrep:
         b = np.repeat(np.arange(len(db) - 1, dtype=np.int32),
                       np.diff(db))
         keys = set(zip(b.tolist(), c.tolist()))
-        stored = set()
-        for table in (eh.prim, eh.sec):
-            flat = table.reshape(-1, 2)
-            live = flat[:, 0] >= 0
-            stored |= set(zip(flat[live, 0].tolist(),
-                              flat[live, 1].tolist()))
+        flat = eh.wide.reshape(-1, 2)
+        live = flat[:, 0] >= 0
+        stored = set(zip(flat[live, 0].tolist(),
+                         flat[live, 1].tolist()))
         assert stored == keys
+        # the native fill and the numpy fallback agree bit-for-bit
+        # (deterministic slot-order insertion)
+        monkeypatch.setattr(native, "available", lambda: False)
+        eh2 = m_tri.build_edge_hash(ctx)
+        assert eh2.seed == eh.seed
+        np.testing.assert_array_equal(eh2.wide, eh.wide)
