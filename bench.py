@@ -222,19 +222,35 @@ def triangle_lj(arrs):
     hints = T._class_pad_hints(hint_subs, chunk, max_deg,
                                int(dag_dst.shape[0]))
 
+    # one-slice lookahead: slice i+1's transfers + dispatch submission
+    # go out BEFORE slice i's counters are fetched, overlapping tunnel
+    # shipping with device compute; the budget check syncs one slice
+    # behind
+    from green_marl_tpu.utils.limbs import limb_value
+    prev, prev_w = [], 0
     for (s0, n_w, pcv, smp, span_bits), hint in zip(subs, hints):
         pc = jax.device_put(pcv.astype(np.int32))
         smp_d = jax.device_put(smp)
-        total += T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
-                              span_bits, samples_np=smp,
-                              max_deg=max_deg, pc_base=s0,
-                              edge_hash=eh_dev, pad_hint=hint)
-        covered += n_w
-        if time.time() - t0 > budget and covered < num_w:
-            log(f"# triangle budget reached: {covered}/{num_w} wedges "
-                f"covered ({100*covered/num_w:.0f}%) — full-run count "
-                "recorded in BASELINE.md")
+        cur = T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
+                           span_bits, samples_np=smp,
+                           max_deg=max_deg, pc_base=s0,
+                           edge_hash=eh_dev, pad_hint=hint,
+                           defer=True)
+        for t in prev:
+            total += limb_value(t)
+        covered += prev_w
+        prev, prev_w = cur, n_w
+        if time.time() - t0 > budget and covered + n_w < num_w:
+            log(f"# triangle budget reached — stopping after the "
+                f"in-flight slice ({100*covered/num_w:.0f}% fetched)")
             break
+    for t in prev:
+        total += limb_value(t)
+    covered += prev_w
+    if covered < num_w:
+        log(f"# triangle coverage: {covered}/{num_w} wedges "
+            f"({100*covered/num_w:.0f}%) — full-run count recorded "
+            "in BASELINE.md")
     return total, time.time() - t0, covered
 
 

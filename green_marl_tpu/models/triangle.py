@@ -625,15 +625,18 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
     subs = list(_wedge_subranges(ctx))
     hints = _class_pad_hints(subs, chunk, max_deg,
                              int(ctx.dag_dst.shape[0]))
-    total = 0
+    # defer all fetches to the end: slice i+1's pair_cum/samples
+    # transfer and dispatch submission overlap slice i's device compute
+    pending = []
     for (lo, sub, samples, span_bits, pc_base), hint in zip(subs,
                                                             hints):
-        total += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
-                            jnp.asarray(samples), sub.num_wedges, chunk,
-                            bits, span_bits, samples_np=samples,
-                            max_deg=max_deg, pc_base=pc_base,
-                            edge_hash=eh, pad_hint=hint)
-    return total
+        pending += _count_sub(sub.dag_begin, sub.dag_dst, sub.pair_cum,
+                              jnp.asarray(samples), sub.num_wedges,
+                              chunk, bits, span_bits,
+                              samples_np=samples, max_deg=max_deg,
+                              pc_base=pc_base, edge_hash=eh,
+                              pad_hint=hint, defer=True)
+    return sum(limb_value(t) for t in pending)
 
 
 def _permuted_ctx(ctx: DagContext) -> DagContext:
@@ -693,13 +696,19 @@ def _class_pad_hints(subs, chunk: int, max_deg: int, dd_len: int):
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
                bits: int, span_bits: int, samples_np=None,
                max_deg=None, pc_base: int = 0, edge_hash=None,
-               pad_hint=None) -> int:
+               pad_hint=None, defer: bool = False):
     """Drive the fixed-window kernel over one (sub)range: many short
     dispatches, one compile.  When the host-side samples and max degree
     are supplied and the slot windows are chunk-bounded, the expansion
     decode replaces the per-wedge window search (~2x fewer random HBM
     gathers); with ``edge_hash`` = (wide, seed) device table, the
-    row binary search is replaced by the 2-round hashed probe too."""
+    row binary search is replaced by the 2-round hashed probe too.
+
+    ``defer=True`` returns the list of un-fetched device limb counters
+    instead of blocking per dispatch — callers issue the NEXT slice's
+    transfers/dispatches before fetching, so host->device pc/samples
+    shipping and remote dispatch latency overlap device compute
+    (fetch with ``limb_value`` later)."""
     chunk = min(chunk, _DISPATCH_W)
     while _DISPATCH_W % chunk:
         chunk //= 2
@@ -745,7 +754,7 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
             "hashed membership requires the expansion-decode windows "
             "(anchor spread too wide for chunk); widen chunk or drop "
             "edge_hash")
-    total = 0
+    pending = []
     for k0 in range(0, num_wedges, _DISPATCH_W):
         if expand is not None and edge_hash is not None:
             wide, seed = edge_hash
@@ -761,8 +770,10 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
             t = _count_wedges(db, dd, pc, samples,
                               jnp.asarray(k0, jnp.int32), nl, pb,
                               chunk, bits, span_bits)
-        total += limb_value(t)
-    return total
+        pending.append(t)
+    if defer:
+        return pending
+    return sum(limb_value(t) for t in pending)
 
 
 # int32-safe wedge ids per device dispatch; module-level so tests can

@@ -96,21 +96,32 @@ hints = T._class_pad_hints(
 print(f"# window classes: {sorted(set(h[2] for h in hints))}",
       flush=True)
 
+from green_marl_tpu.utils.limbs import limb_value  # noqa: E402
+
 total = 0
 covered = 0
 t_all = time.time()
+prev, prev_w, prev_s0 = [], 0, 0
+t_sl = time.time()
 for (s0, n_w, pcv, smp, span_bits), hint in zip(subs, hints):
     pc = jax.device_put(pcv.astype(np.int32))
     smp_d = jax.device_put(smp)
-    t0 = time.time()
-    t = T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
-                     span_bits, samples_np=smp, max_deg=max_deg,
-                     pc_base=s0, edge_hash=eh_dev, pad_hint=hint)
-    dt = time.time() - t0
-    total += t
-    covered += n_w
-    print(f"# slice [{s0}..] w={n_w} t={t} {dt:.1f}s "
-          f"{n_w/dt/1e6:.1f} Mw/s", flush=True)
+    cur = T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
+                       span_bits, samples_np=smp, max_deg=max_deg,
+                       pc_base=s0, edge_hash=eh_dev, pad_hint=hint,
+                       defer=True)
+    for t in prev:
+        total += limb_value(t)
+    if prev_w:
+        dt = time.time() - t_sl
+        print(f"# slice [{prev_s0}..] w={prev_w} {dt:.1f}s "
+              f"{prev_w/dt/1e6:.1f} Mw/s (pipelined)", flush=True)
+        t_sl = time.time()
+    covered += prev_w
+    prev, prev_w, prev_s0 = cur, n_w, s0
+for t in prev:
+    total += limb_value(t)
+covered += prev_w
 dt_all = time.time() - t_all
 print(f"TOTAL T={total} wedges={covered} {dt_all:.1f}s "
       f"{covered/dt_all/1e6:.2f} Mwedges/s "

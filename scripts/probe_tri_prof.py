@@ -133,7 +133,8 @@ def kern(dag_dst, pair_cum, samples, prim, sec, k0, n_limit,
         k_start = k0 + ci * chunk
         k = k_start + jnp.arange(chunk, dtype=jnp.int32)
         valid = k < n_limit
-        if mode in ("decode", "prim", "full", "wide", "split"):
+        if mode in ("decode", "decode_live", "prim", "full", "wide",
+                    "split"):
             i0 = samples[jnp.minimum(k_start >> 8, n_marks - 1)]
             i0 = jnp.minimum(i0, pair_cum.shape[0] - s_max)
             pc_win = jax.lax.dynamic_slice_in_dim(
@@ -160,7 +161,13 @@ def kern(dag_dst, pair_cum, samples, prim, sec, k0, n_limit,
             b = (k * jnp.int32(-1640531527)) & jnp.int32(0x3FFFFF)
             c = (k * jnp.int32(40503)) & jnp.int32(0x3FFFFF)
         if mode == "decode":
+            # NOTE: b/c are dead here and XLA DCEs their window
+            # gathers — this measures marks/cumsum only
             hit = valid
+        elif mode == "decode_live":
+            # consume b and c so the in-VMEM window gathers survive;
+            # no membership probe — isolates the true decode cost
+            hit = (((b ^ c) & 1) == 0) & valid
         elif mode == "gather":
             h1 = T._mix_hash(b, c, seed, hp, xp=jnp)
             rows = prim[h1]
