@@ -961,7 +961,95 @@ def dead_store_elim(proc: A.Procedure) -> A.Procedure:
     return _dse(proc)
 
 
+def const_fold(proc: A.Procedure) -> A.Procedure:
+    """Constant folding + dead-branch elimination, written against the
+    visitor/transform framework (lang.traverse).  The reference has no
+    dedicated fold pass — its C++ compiler folds the emitted text — but
+    here folded conditions feed `lax.cond`-free lowering and let
+    `remove_unused`/`dead_store_elim` fire on the exposed dead code.
+    C semantics are preserved: INT division truncates toward zero, a
+    constant 0 divisor is left in place (the runtime's business), and
+    INF/NIL literals never fold."""
+    from .traverse import Transformer, transform
+
+    NUM = ("INT", "FLOAT")
+
+    def _const(e):
+        return e if isinstance(e, A.Const) and e.ctype in (
+            "INT", "FLOAT", "BOOL") else None
+
+    def _mk(value, ctype, loc):
+        return A.Const(loc=loc, value=value, ctype=ctype)
+
+    class _Fold(Transformer):
+        def rewrite_expr(self, e):
+            if isinstance(e, A.UnOp):
+                c = _const(e.operand)
+                if c is None:
+                    return None
+                if e.op == "NEG" and c.ctype in NUM:
+                    return _mk(-c.value, c.ctype, e.loc)
+                if e.op == "NOT" and c.ctype == "BOOL":
+                    return _mk(not c.value, "BOOL", e.loc)
+                if e.op == "ABS" and c.ctype in NUM:
+                    return _mk(abs(c.value), c.ctype, e.loc)
+                return None
+            if isinstance(e, A.Ternary):
+                c = _const(e.cond)
+                if c is not None and c.ctype == "BOOL":
+                    return e.then if c.value else e.els
+                return None
+            if not isinstance(e, A.BinOp):
+                return None
+            lc, rc = _const(e.lhs), _const(e.rhs)
+            if e.op in ("&&", "||"):
+                for this, other in ((lc, e.rhs), (rc, e.lhs)):
+                    if this is not None and this.ctype == "BOOL":
+                        if e.op == "&&":
+                            return other if this.value \
+                                else _mk(False, "BOOL", e.loc)
+                        return _mk(True, "BOOL", e.loc) \
+                            if this.value else other
+                return None
+            if lc is None or rc is None or lc.ctype not in NUM \
+                    or rc.ctype not in NUM:
+                return None
+            a, b = lc.value, rc.value
+            out_t = "FLOAT" if "FLOAT" in (lc.ctype, rc.ctype) \
+                else "INT"
+            if e.op in ("+", "-", "*"):
+                v = a + b if e.op == "+" else (
+                    a - b if e.op == "-" else a * b)
+                return _mk(v, out_t, e.loc)
+            if e.op == "/" and b != 0:
+                v = a / b if out_t == "FLOAT" else \
+                    int(a / b)                 # C: truncate toward 0
+                return _mk(v, out_t, e.loc)
+            if e.op in ("<", ">", "<=", ">=", "==", "!="):
+                v = {"<": a < b, ">": a > b, "<=": a <= b,
+                     ">=": a >= b, "==": a == b, "!=": a != b}[e.op]
+                return _mk(v, "BOOL", e.loc)
+            return None
+
+        def rewrite_stmt(self, s):
+            if isinstance(s, A.If):
+                c = _const(s.cond)
+                if c is not None and c.ctype == "BOOL":
+                    taken = s.then if c.value else s.els
+                    return taken if taken is not None \
+                        else A.Block(loc=s.loc, stmts=[])
+            if isinstance(s, A.While) and not s.do_while:
+                c = _const(s.cond)
+                if c is not None and c.ctype == "BOOL" \
+                        and c.value is False:
+                    return A.Block(loc=s.loc, stmts=[])
+            return None
+
+    return transform(proc, _Fold())
+
+
 DEFAULT_PASSES: List[Tuple[str, Callable[[A.Procedure], A.Procedure]]] = [
+    ("const_fold", const_fold),
     ("sugar2", sugar2),
     ("move_propdecl", move_propdecl),
     ("dead_store_elim", dead_store_elim),
@@ -974,20 +1062,24 @@ DEFAULT_PASSES: List[Tuple[str, Callable[[A.Procedure], A.Procedure]]] = [
 ]
 
 
-def optimize(procs, passes=None, clone: bool = True):
+def default_pipeline():
+    """The backend-independent pass schedule as a steps.Pipeline
+    (``gm_ind_opt.cc prepare_steps`` analog)."""
+    from .steps import FunctionStep, Pipeline
+    return Pipeline([FunctionStep(n, f) for n, f in DEFAULT_PASSES])
+
+
+def optimize(procs, passes=None, clone: bool = True, pipeline=None):
     """Run the backend-independent pipeline (``gm_ind_opt.cc:15-24``
-    equivalent) over one procedure or a list."""
+    equivalent) over one procedure or a list.  ``passes`` selects a
+    named subset; ``pipeline`` substitutes a whole steps.Pipeline."""
     single = isinstance(procs, A.Procedure)
     if single:
         procs = [procs]
     if clone:
         procs = copy.deepcopy(procs)
-    table = dict(DEFAULT_PASSES)
-    order = passes if passes is not None else [n for n, _ in
-                                               DEFAULT_PASSES]
-    out = []
-    for p in procs:
-        for name in order:
-            p = table[name](p)
-        out.append(p)
+    pipe = pipeline if pipeline is not None else default_pipeline()
+    if passes is not None:
+        pipe = pipe.subset(passes)
+    out = [pipe.run(p) for p in procs]
     return out[0] if single else out
