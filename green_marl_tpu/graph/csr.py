@@ -252,8 +252,12 @@ def from_edges(
 
 
 class GraphBuilder:
-    """Mutable host-side graph (reference "flexible format",
-    ``gm_graph.h:396-436`` node-key remapping included)."""
+    """Mutable host-side graph — the reference's "flexible format"
+    (``gm_graph.h:186-203``: ``add_node``/``add_edge`` then ``freeze()``
+    into CSR; ``thaw()`` back to flexible for further mutation) plus
+    the node-key remapping surface (``gm_graph.h:396-436``:
+    ``add_nodekey``/``find_nodekey``/``find_nodeid`` translate external
+    node keys to dense internal ids)."""
 
     def __init__(self, node_dtype=np.int32, edge_dtype=np.int32):
         self._src: list = []
@@ -261,6 +265,51 @@ class GraphBuilder:
         self._num_nodes = 0
         self.node_dtype = node_dtype
         self.edge_dtype = edge_dtype
+        self._key2id: dict = {}
+        self._id2key: list = []
+
+    @classmethod
+    def thaw(cls, g: Graph, node_dtype=np.int32,
+             edge_dtype=np.int32) -> "GraphBuilder":
+        """CSR -> flexible (``gm_graph::thaw``, gm_graph.h:186): a
+        mutable builder seeded with the graph's live edges; mutate,
+        then ``freeze()`` into a new CSR Graph."""
+        b = cls(node_dtype=node_dtype, edge_dtype=edge_dtype)
+        begin = np.asarray(g.begin)[: g.num_nodes + 1]
+        dst = np.asarray(g.node_idx)[: g.num_edges]
+        src = np.repeat(np.arange(g.num_nodes, dtype=node_dtype),
+                        np.diff(begin.astype(np.int64)))
+        b.add_edges(src, dst.astype(node_dtype, copy=False))
+        b._num_nodes = max(b._num_nodes, g.num_nodes)
+        return b
+
+    # -- node-key remapping (gm_graph.h:396-436) ----------------------
+    def add_nodekey(self, key) -> int:
+        """External key -> dense internal id (created on first use)."""
+        nid = self._key2id.get(key)
+        if nid is None:
+            nid = self.add_node()
+            self._key2id[key] = nid
+            self._id2key.extend([None] * (nid + 1 - len(self._id2key)))
+            self._id2key[nid] = key
+        return nid
+
+    def find_nodekey(self, key) -> int:
+        """Key -> id, -1 when absent (``gm_graph::find_nodekey``)."""
+        return self._key2id.get(key, -1)
+
+    def find_nodeid(self, nid: int):
+        """Id -> key (``gm_graph::find_nodeid``); None when the node
+        was created without a key."""
+        return self._id2key[nid] if 0 <= nid < len(self._id2key) \
+            else None
+
+    def add_keyed_edge(self, skey, dkey) -> None:
+        self.add_edge(self.add_nodekey(skey), self.add_nodekey(dkey))
+
+    @property
+    def nodekeys(self) -> list:
+        return list(self._id2key)
 
     def add_node(self) -> int:
         self._num_nodes += 1

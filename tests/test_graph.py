@@ -92,6 +92,43 @@ def test_builder():
     assert g.num_nodes == 3 and g.num_edges == 2
 
 
+def test_builder_thaw_refreeze():
+    """CSR -> thaw -> mutate -> freeze round trip (the reference's
+    dual representation, gm_graph.h:186-203)."""
+    src, dst = gen.uniform_random_edges(50, 300, seed=7)
+    g, _ = from_edges(src, dst, 50)
+    b = GraphBuilder.thaw(g)
+    b.add_edge(0, 49)
+    nid = b.add_node()
+    b.add_edge(nid, 0)
+    g2, _ = b.freeze()
+    assert g2.num_nodes == 51 and g2.num_edges == 302
+    # original edge multiset preserved
+    b2 = np.asarray(g2.begin)[:52].astype(np.int64)
+    s2 = np.repeat(np.arange(51), np.diff(b2))
+    d2 = np.asarray(g2.node_idx)[:302]
+    orig = sorted(zip(src.tolist(), dst.tolist()))
+    now = sorted(zip(s2.tolist(), d2.tolist()))
+    for e in orig:
+        assert e in now
+    assert (0, 49) in now and (50, 0) in now
+
+
+def test_builder_nodekeys():
+    """External-key graph construction (gm_graph.h:396-436)."""
+    b = GraphBuilder()
+    b.add_keyed_edge("alice", "bob")
+    b.add_keyed_edge("bob", "carol")
+    b.add_keyed_edge("alice", "carol")
+    assert b.find_nodekey("alice") == 0
+    assert b.find_nodekey("bob") == 1
+    assert b.find_nodekey("nobody") == -1
+    assert b.find_nodeid(2) == "carol"
+    g, _ = b.freeze()
+    assert g.num_nodes == 3 and g.num_edges == 3
+    assert b.nodekeys == ["alice", "bob", "carol"]
+
+
 def test_degree_stats():
     src, dst = gen.uniform_random_edges(1000, 8000, seed=0)
     g, _ = from_edges(src, dst, 1000)
