@@ -132,19 +132,30 @@ def triangle_lj(arrs):
             D = int(d["D"])
         else:
             # no cache, or a v2/v3 cache whose dst is already row-
-            # permuted (rank rows unrecoverable) — rebuild from edges
-            from green_marl_tpu.graph.csr import from_edges, \
-                to_undirected
+            # permuted (rank rows unrecoverable) — rebuild from edges.
+            # ALL-HOST path (r6): native CSR + build_dag_host; the old
+            # from_edges->DagContext route shipped ~1.1 GB to the
+            # device and fetched it straight back (314 s cold vs ~40 s)
+            from green_marl_tpu.graph import native
+            from green_marl_tpu.graph.csr import to_undirected
             e = np.load(EDGES)
             # dedup=False: build_dag dedups rows itself; skipping the
             # 138M-pair np.unique shaves ~90 s off the cold build
             s_, d_ = to_undirected(e["src"], e["dst"], dedup=False)
-            g_u, _ = from_edges(s_, d_, N)
-            ctx0 = T.build_dag(g_u)
-            rank_begin = np.asarray(ctx0.dag_begin)
-            rank_dst = np.asarray(ctx0.dag_dst)
-            D = ctx0.num_dag_edges
-            del g_u, s_, d_, e
+            if native.available():
+                u_begin, u_dst = native.build_csr(s_, d_, N)[:2]
+            else:
+                p_ = np.lexsort((d_, s_))
+                u_dst = d_[p_]
+                u_begin = np.zeros(N + 1, np.int64)
+                np.cumsum(np.bincount(s_, minlength=N),
+                          out=u_begin[1:])
+            del s_, d_, e
+            rb64, rank_dst64, _pc, D = T.build_dag_host(
+                np.asarray(u_begin), np.asarray(u_dst), N)
+            rank_begin = rb64.astype(np.int32)
+            rank_dst = rank_dst64.astype(np.int32)
+            del u_begin, u_dst, rb64, rank_dst64, _pc
 
         class _Ctx:
             pass

@@ -49,16 +49,14 @@ class DagContext(NamedTuple):
     num_dag_edges: int
 
 
-def build_dag(g: Graph) -> DagContext:
-    """Host-side preprocessing, like ``make_reverse_edges``: native
-    OpenMP (``gm_build_dag``) with a numpy fallback — both produce the
-    identical rank-ordered, deduped, row-sorted DAG."""
-    begin = np.asarray(g.begin)
-    N = g.num_nodes
-
+def build_dag_host(begin: np.ndarray, node_idx: np.ndarray,
+                   N: int):
+    """Host-only DAG build (no device traffic — callers that stay on
+    host, like bench cold prep, skip ~1.1 GB of tunnel round trips the
+    DagContext device arrays would cost).  Returns
+    ``(dag_begin64, dag_dst[D], pair_cum64, D)`` numpy arrays."""
     from ..graph import native
-    nat = native.build_dag(begin,
-                           np.asarray(g.node_idx)[: g.num_edges], N) \
+    nat = native.build_dag(begin, node_idx, N) \
         if native.available() else None
     if nat is not None:
         dag_begin64 = nat[0].astype(np.int64)
@@ -67,7 +65,7 @@ def build_dag(g: Graph) -> DagContext:
         deg_r = np.diff(dag_begin64)
         ds = np.repeat(np.arange(N, dtype=np.int64), deg_r)
     else:
-        dst = np.asarray(g.node_idx)[: g.num_edges].astype(np.int64)
+        dst = node_idx.astype(np.int64)
         deg = np.diff(begin).astype(np.int64)
         src = np.repeat(np.arange(N, dtype=np.int64), deg)
 
@@ -98,14 +96,25 @@ def build_dag(g: Graph) -> DagContext:
     pair_cum[1:D + 1] = np.cumsum(pairs)
     if D < d_pad:
         pair_cum[D + 1:] = pair_cum[D]
+    return dag_begin64, dag_dst, pair_cum, D
 
+
+def build_dag(g: Graph) -> DagContext:
+    """Host-side preprocessing, like ``make_reverse_edges``: native
+    OpenMP (``gm_build_dag``) with a numpy fallback — both produce the
+    identical rank-ordered, deduped, row-sorted DAG, shipped to the
+    device (``device_put`` — ~10x faster than jnp.asarray through the
+    tunnel)."""
+    dag_begin64, dag_dst, pair_cum, D = build_dag_host(
+        np.asarray(g.begin), np.asarray(g.node_idx)[: g.num_edges],
+        g.num_nodes)
     # int32 on device (x64 off); counts beyond int32 are rejected at the
     # count entry points before these arrays are indexed
     return DagContext(
-        dag_begin=jnp.asarray(dag_begin64.astype(np.int32)),
-        dag_dst=jnp.asarray(dag_dst.astype(np.int32)),
-        pair_cum=jnp.asarray(np.minimum(pair_cum, 2**31 - 1)
-                             .astype(np.int32)),
+        dag_begin=jax.device_put(dag_begin64.astype(np.int32)),
+        dag_dst=jax.device_put(dag_dst.astype(np.int32)),
+        pair_cum=jax.device_put(np.minimum(pair_cum, 2**31 - 1)
+                                .astype(np.int32)),
         num_wedges=int(pair_cum[D]),
         num_dag_edges=D,
     )

@@ -294,6 +294,23 @@ class TestTriangleNativePrep:
         g, _ = from_edges(src[keep], dst[keep], 500)
         return g
 
+    def test_build_dag_host_matches_device_ctx(self):
+        """bench.py's all-host cold path (build_dag_host over the
+        native CSR) must equal the DagContext device arrays."""
+        import numpy as np
+        g = self._graph(3)
+        ctx = m_tri.build_dag(g)
+        rb, rd, pc, D = m_tri.build_dag_host(
+            np.asarray(g.begin), np.asarray(g.node_idx)[:g.num_edges],
+            g.num_nodes)
+        assert D == ctx.num_dag_edges
+        assert np.array_equal(rb.astype(np.int32),
+                              np.asarray(ctx.dag_begin))
+        assert np.array_equal(rd.astype(np.int32),
+                              np.asarray(ctx.dag_dst))
+        assert np.array_equal(pc.astype(np.int32),
+                              np.asarray(ctx.pair_cum))
+
     @pytest.mark.parametrize("seed", [0, 7])
     def test_build_dag_matches_numpy(self, seed, monkeypatch):
         from green_marl_tpu.graph import native
