@@ -97,24 +97,15 @@ def _is_oom(e):
     return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
 
 
-class _SubShim:
-    """Duck-typed sub-range view for ``T._class_pad_hints`` (which
-    reads only ``pair_cum.shape[0]`` and ``num_wedges``)."""
-
-    def __init__(self, pcv, n_w):
-        self.pair_cum = pcv
-        self.num_wedges = n_w
-
-
 def triangle_lj(arrs):
     """LJ-scale triangle count on the chip: symmetrize the bench graph,
-    build (or load) the degree-oriented DAG + the 2-round membership
-    hash (round-5), run the windowed wedge kernel over int32-safe
-    sub-ranges.  Returns (count, secs, wedges)."""
+    build (or load) the degree-oriented DAG + the one-level wide
+    membership hash, count every wedge with the d-shift kernel
+    (models/triangle._count_wedges_shift).  Returns
+    (count, secs, wedges)."""
     import jax
 
     import green_marl_tpu.models.triangle as T
-    from green_marl_tpu.graph.csr import round_up
 
     d = np.load(TRI) if os.path.exists(TRI) else None
     if d is not None and int(d.get("version", np.int64(0))) \
@@ -177,16 +168,9 @@ def triangle_lj(arrs):
         log(f"# triangle layout+hash build {time.time()-t0:.1f}s "
             "(cached)")
 
-    # exact 64-bit wedge prefix from the cached DAG
+    # exact 64-bit wedge total from the cached DAG
     deg = np.diff(dag_begin.astype(np.int64))
-    src_of = np.repeat(np.arange(dag_begin.shape[0] - 1,
-                                 dtype=np.int64), deg)
-    row_end = dag_begin.astype(np.int64)[src_of + 1]
-    pairs = row_end - np.arange(D, dtype=np.int64) - 1
-    cum = np.zeros(D + 1, np.int64)
-    cum[1:] = np.cumsum(pairs)
-    num_w = int(cum[D])
-    bits = max(1, int(deg.max(initial=1)).bit_length()) + 1
+    num_w = int(np.sum(deg * (deg - 1) // 2))
 
     t0 = time.time()
     db = jax.device_put(dag_begin.astype(np.int32))
@@ -195,69 +179,29 @@ def triangle_lj(arrs):
     jax.block_until_ready(eh_dev[0])
     tri_mb = (wide.nbytes + dag_dst.nbytes) / 1e6
     log(f"# triangle transfer {tri_mb:.0f}MB in {time.time()-t0:.1f}s")
-    total = 0
-    covered = 0
     t0 = time.time()
-    s0 = 0
-    LIMIT = min(T._SUBRANGE_LIMIT, 1 << 27)
-    # wall-clock budget: the FULL 1.41G-wedge count runs ~110-200 s
-    # through the hashed kernel (T=9,346,475, golden-confirmed); the
-    # budget guard stays as a hostile-session backstop
+    # wall-clock budget: a hostile-session backstop (the full count
+    # runs ~35 s; the deadline stops dispatch SUBMISSION only)
     budget = float(os.environ.get("BENCH_TRIANGLE_BUDGET", "600"))
-    max_deg = int(deg.max(initial=1))
-    # 2^17 wedges/chunk: the measured throughput knee of the wide-probe
-    # kernel (36 ns/wedge; 2^18 costs 40, 2^19 costs 42 — probe_tri_prof)
-    chunk = 1 << 17
 
-    # precompute slice bounds -> per-window-class pad hints: slices
-    # sharing a quantized anchor window share ONE compiled kernel (LJ:
-    # 3 classes); the r5 single global hint ran every slice at the
-    # worst slice's window (12 vs 27.5 Mwedges/s)
-    bounds = []
-    while cum[min(s0, D)] < num_w:
-        s1 = int(np.searchsorted(cum, cum[s0] + LIMIT, side="left"))
-        s1 = max(min(s1 - 1, D), s0 + 1)
-        if cum[s1] - cum[s0] <= 0:
-            break
-        bounds.append((s0, s1))
-        s0 = s1
-    subs = []
-    for s0, s1 in bounds:
-        n_w = int(cum[s1] - cum[s0])
-        pcv = np.clip(cum[s0: s1 + 2] - cum[s0], 0, n_w)
-        smp, span_bits = T._anchor_samples(pcv, n_w)
-        smp = (smp.astype(np.int64) + s0).astype(np.int32)
-        subs.append((s0, n_w, pcv, smp, span_bits))
-    hint_subs = [(s0, _SubShim(pcv, n_w), smp, span_bits, s0)
-                 for s0, n_w, pcv, smp, span_bits in subs]
-    hints = T._class_pad_hints(hint_subs, chunk, max_deg,
-                               int(dag_dst.shape[0]))
-
-    # one-slice lookahead: slice i+1's transfers + dispatch submission
-    # go out BEFORE slice i's counters are fetched, overlapping tunnel
-    # shipping with device compute; the budget check syncs one slice
-    # behind
-    from green_marl_tpu.utils.limbs import limb_value
-    prev, prev_w = [], 0
-    for (s0, n_w, pcv, smp, span_bits), hint in zip(subs, hints):
-        pc = jax.device_put(pcv.astype(np.int32))
-        smp_d = jax.device_put(smp)
-        cur = T._count_sub(db, dd, pc, smp_d, n_w, chunk, bits,
-                           span_bits, samples_np=smp,
-                           max_deg=max_deg, pc_base=s0,
-                           edge_hash=eh_dev, pad_hint=hint,
-                           defer=True)
-        for t in prev:
-            total += limb_value(t)
-        covered += prev_w
-        prev, prev_w = cur, n_w
-        if time.time() - t0 > budget and covered + n_w < num_w:
-            log(f"# triangle budget reached — stopping after the "
-                f"in-flight slice ({100*covered/num_w:.0f}% fetched)")
-            break
-    for t in prev:
-        total += limb_value(t)
-    covered += prev_w
+    # r6: the d-shift kernel does the WHOLE count — wedge (s, s+d)
+    # endpoints are contiguous slices over the descending-pair row
+    # layout (both values + the validity mask stream from HBM; the only
+    # random access left is the one 512 B bucket probe per lane, ~2
+    # lanes/wedge).  Measured 34.8 s / 40.6 Mwedges/s for the full
+    # 1.41G-wedge count vs 63.9 s for the 3-class window+cummax decode
+    # it replaces — 12.2 ns/lane, i.e. the chip's gather issue rate,
+    # speed of light for a probe-per-wedge design (probe_tri_prof2).
+    from green_marl_tpu.utils.limbs import limb_fetch_sum
+    pending, done_d, tot_d = T._count_shift_region(
+        dd, db, eh_dev[0], eh_dev[1], dag_begin.astype(np.int64),
+        0, D, 1 << 17, deadline=t0 + budget)
+    if done_d < tot_d:
+        log(f"# triangle budget reached during submission "
+            f"({done_d}/{tot_d} dispatches)")
+    total = limb_fetch_sum(pending)
+    covered = num_w if done_d == tot_d \
+        else int(num_w * done_d / tot_d)
     if covered < num_w:
         log(f"# triangle coverage: {covered}/{num_w} wedges "
             f"({100*covered/num_w:.0f}%) — full-run count recorded "
@@ -342,9 +286,28 @@ def load_prep():
     return arrs
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (survives processes AND the
+    axon tunnel): the triangle+BFS kernels cost ~40 s of remote
+    compiles per fresh process without it; with it a fresh run reloads
+    every executable in <1 s (measured).  Lives next to the data
+    caches; harmless if jax predates the flags."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(DDIR, "jaxcache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception as e:  # noqa: BLE001
+        log(f"# compile cache unavailable: {e}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from green_marl_tpu.graph.csr import Graph
     from green_marl_tpu.models import batched
     from green_marl_tpu.models.bfs import bfs

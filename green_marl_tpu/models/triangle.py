@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph, round_up
-from ..utils.limbs import limb_add, limb_value, limb_zero
+from ..utils.limbs import (limb_add, limb_fetch_sum, limb_value,
+                           limb_zero)
 
 
 class DagContext(NamedTuple):
@@ -459,17 +460,33 @@ def descending_row_layout(dag_begin: np.ndarray, dag_dst: np.ndarray,
     return perm_dst.astype(np.int32), cum, starts
 
 
-@partial(jax.jit, static_argnames=("chunk", "s_max", "d_win", "seed"))
+@partial(jax.jit, static_argnames=("chunk", "s_max", "d_win", "seed",
+                                   "b_pack"))
 def _count_wedges_hashed(dag_dst, pair_cum, samples, wide, k0,
                          n_limit, pc_base, chunk: int, s_max: int,
-                         d_win: int, seed: int) -> jax.Array:
-    """Expansion decode (see ``_count_wedges_expand``) + hashed
-    membership: per wedge ONE 512 B bucket-row fetch (128 int32 = a
-    full vector register row) + a 64-wide VPU compare — vs ~13 random
-    rounds for the row binary search."""
+                         d_win: int, seed: int,
+                         b_pack: bool = False) -> jax.Array:
+    """Expansion decode + hashed membership: per wedge ONE 512 B
+    bucket-row fetch (128 int32 = a full vector register row) + a
+    64-wide VPU compare — vs ~13 random rounds for the row binary
+    search.
+
+    Decode (r6): the anchor map is forward-filled by scatter+cummax
+    instead of per-wedge window gathers — ``pos`` (wedge position of
+    each anchor) and ``il`` (anchor ordinal in the window) are both
+    monotone in scatter order, so a max-scatter at the anchor's first
+    wedge position followed by ``lax.cummax`` yields the active anchor
+    for every lane with ZERO random reads; with ``b_pack`` (node ids
+    < 2^24 and s_max <= 2^19) the anchor's b value rides along as two
+    (il_rel<<12 | 12-bit half) packs, removing the b gather too.  The
+    chip's gather issue rate (~9.5 ns/row, probe_gather3) is the whole
+    cost model: gathers/wedge drop 4 -> 2 (c + bucket probe), measured
+    36.2 -> 24.6 ns/wedge on the dense LJ slice (probe_tri_prof2),
+    bit-identical counts."""
     num_chunks = _DISPATCH_W // chunk
     n_marks = samples.shape[0]
     hw = wide.shape[0]
+    NEG = jnp.int32(-2147483647)
 
     def probe(table, h, b, c):
         rows = table[h]                              # [chunk, 2*_HB]
@@ -483,29 +500,174 @@ def _count_wedges_hashed(dag_dst, pair_cum, samples, wide, k0,
         i0 = jnp.minimum(i0, pc_base + pair_cum.shape[0] - s_max)
         pc_win = jax.lax.dynamic_slice_in_dim(
             pair_cum, jnp.maximum(i0 - pc_base, 0), s_max)
-        pos = pc_win.astype(jnp.int32) - k_start       # [s_max]
-        base = jnp.sum((pos <= 0).astype(jnp.int32))
-        inb = (pos >= 1) & (pos < chunk)
-        marks = jnp.zeros((chunk,), jnp.int32).at[
-            jnp.clip(pos, 0, chunk - 1)].add(
-            jnp.where(inb, 1, 0), mode="drop")
-        inc = jnp.cumsum(marks)                        # [chunk]
-        i = i0 + base - 1 + inc                        # anchor per wedge
-        k = k_start + jnp.arange(chunk, dtype=jnp.int32)
-        valid = k < n_limit
-        il = jnp.clip(i - i0, 0, s_max - 1)
-        off = k - pc_win[il]
         dd_win = jax.lax.dynamic_slice_in_dim(
             dag_dst, jnp.minimum(i0, dag_dst.shape[0] - d_win), d_win)
-        dbase = jnp.minimum(i0, dag_dst.shape[0] - d_win)
-        b = dd_win[jnp.clip(i - dbase, 0, d_win - 1)]
-        j = i + 1 + off
-        c = dd_win[jnp.clip(j - dbase, 0, d_win - 1)]
+        idelta = i0 - jnp.minimum(i0, dag_dst.shape[0] - d_win)
+        karr = jnp.arange(chunk, dtype=jnp.int32)
+        k = k_start + karr
+        valid = k < n_limit
+        pos = pc_win.astype(jnp.int32) - k_start       # [s_max] asc
+        base = jnp.sum((pos <= 0).astype(jnp.int32))   # >= 1
+        b0 = base - 1                                  # carry-in anchor
+        pos0 = pc_win[jnp.clip(b0, 0, s_max - 1)] - k_start   # <= 0
+        inb = (pos >= 1) & (pos < chunk)
+        mpos = jnp.clip(pos, 0, chunk - 1)
+        ils = jnp.arange(s_max, dtype=jnp.int32)
+        # active anchor ordinal + its wedge position, forward-filled
+        il_f = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
+            jnp.where(inb, ils, NEG), mode="drop").at[0].max(b0)
+        pos_f = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
+            jnp.where(inb, pos, NEG), mode="drop").at[0].max(
+            jnp.maximum(pos0, NEG + 1))
+        il = jax.lax.cummax(il_f)
+        poscur = jax.lax.cummax(pos_f)
+        off = karr - poscur
+        if b_pack:
+            # b forward-filled as two 12-bit halves packed under the
+            # window-relative anchor ordinal (monotone => cummax
+            # fills).  bwin slices at i0 exactly — the caller enables
+            # b_pack only when max(samples)+s_max <= len(dag_dst), so
+            # XLA's dynamic-slice clamp can never shift the alignment
+            bwin = jax.lax.dynamic_slice_in_dim(dag_dst, i0, s_max)
+            ilr = ils - b0                             # in [.., s_max]
+            b0c = jnp.clip(b0, 0, s_max - 1)
+            bv0 = bwin[b0c]
+            pl = jnp.where(inb, (ilr << 12) | (bwin & 0xfff), NEG)
+            ph = jnp.where(inb, (ilr << 12) |
+                           ((bwin >> 12) & 0xfff), NEG)
+            fl = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
+                pl, mode="drop").at[0].max(bv0 & 0xfff)
+            fh = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
+                ph, mode="drop").at[0].max((bv0 >> 12) & 0xfff)
+            b = ((jax.lax.cummax(fh) & 0xfff) << 12) | \
+                (jax.lax.cummax(fl) & 0xfff)
+        else:
+            b = dd_win[jnp.clip(il + idelta, 0, d_win - 1)]
+        c = dd_win[jnp.clip(il + idelta + 1 + off, 0, d_win - 1)]
         h1 = _mix_hash(b, c, seed, hw, xp=jnp)
         hit = probe(wide, h1, b, c)
         return limb_add(acc, jnp.sum((hit & valid).astype(jnp.int32)))
 
     return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
+
+
+# ---------------------------------------------------------------------------
+# d-shift kernel for SPARSE row classes (r6).  The window decode pays
+# ~s_max/chunk scatter elements per wedge — ruinous where anchors
+# advance ~1 slot/wedge (tail rows of 1-8 pairs: 4x ratio, measured
+# 224 ns/wedge).  Enumerating by (slot, shift) instead makes both
+# endpoints CONTIGUOUS SLICES: wedge (s, s+d) for d <= pairs[s]; for
+# each shift d the eligible slots are a prefix [0, R_d) because the
+# descending-pair row layout sorts rows by length, so the host emits
+# (d, slot0) chunk descriptors and the kernel needs ZERO decode
+# gathers — only the bucket probe (~2 lanes/wedge x 1 gather vs the
+# window decode's 4 slots x 4 scatters).  No pc/samples transfers, no
+# per-class compiles.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("d_len",))
+def _pairs_on_device(db_dev, d_len: int):
+    """Per-slot pair count from the (permuted-layout) row offsets,
+    computed on device: scatter each row's END at its start slot,
+    forward-fill with cummax, subtract slot index.  Padding slots get
+    negative pairs (auto-invalid).  Jitted — eager execution pays one
+    tunnel round trip + remote compile PER OP on 276 MB arrays
+    (measured 40 s vs 0.3 s)."""
+    ends = jnp.zeros((d_len,), jnp.int32).at[
+        jnp.clip(db_dev[:-1], 0, d_len - 1)].max(
+        db_dev[1:], mode="drop")
+    rowend = jax.lax.cummax(ends)
+    return rowend - jnp.arange(d_len, dtype=jnp.int32) - 1
+
+
+@partial(jax.jit, static_argnames=("chunk", "seed"))
+def _count_wedges_shift(dd, pairs, desc, wide, c0, chunk: int,
+                        seed: int) -> jax.Array:
+    """One dispatch of ``_DISPATCH_W // chunk`` descriptor-driven
+    chunks: descriptor (d, slot0) -> lanes s = slot0+[0,chunk), wedge
+    (dd[s], dd[s+d]) valid iff pairs[s] >= d, membership by the wide
+    bucket probe.  ``dd``/``pairs`` must be padded so slot0+d+chunk
+    never clamps (caller guarantees)."""
+    num_chunks = _DISPATCH_W // chunk
+    hw = wide.shape[0]
+
+    def do_chunk(ci, acc):
+        de = desc[c0 + ci]
+        d, s0 = de[0], de[1]
+        b = jax.lax.dynamic_slice_in_dim(dd, s0, chunk)
+        c = jax.lax.dynamic_slice_in_dim(dd, s0 + d, chunk)
+        pr = jax.lax.dynamic_slice_in_dim(pairs, s0, chunk)
+        valid = pr >= d
+        h1 = _mix_hash(b, c, seed, hw, xp=jnp)
+        rows = wide[h1]
+        kb = rows[:, 0::2]
+        kc = rows[:, 1::2]
+        hit = jnp.any((kb == b[:, None]) & (kc == c[:, None]), axis=1)
+        return limb_add(acc, jnp.sum((hit & valid).astype(jnp.int32)))
+
+    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
+
+
+def _shift_pieces(dag_begin_np: np.ndarray, s_cut: int, D: int,
+                  chunk: int) -> np.ndarray:
+    """Host-side (d, slot0) chunk descriptors covering every wedge
+    anchored at slots [s_cut, D).  Rows are length-sorted descending,
+    so slots with pairs >= d all lie below R_d = end of the prefix of
+    rows with length > d."""
+    lens = np.diff(dag_begin_np.astype(np.int64))
+    lens = lens[lens > 0]
+    max_len = int(lens.max(initial=1))
+    pieces = []
+    for d in range(1, max_len):
+        # rows with len >= d+1 form a prefix (lens descending)
+        r_cnt = int(np.searchsorted(-lens, -(d + 1), side="right"))
+        r_d = int(dag_begin_np[r_cnt])
+        if r_d <= s_cut:
+            continue
+        for s0 in range(s_cut, r_d, chunk):
+            pieces.append((d, s0))
+    if not pieces:
+        return np.zeros((0, 2), np.int32)
+    return np.asarray(pieces, np.int32)
+
+
+def _count_shift_region(dd_dev, db_dev, wide_dev, seed: int,
+                        dag_begin_np: np.ndarray, s_cut: int, D: int,
+                        chunk: int = 1 << 17, deadline=None):
+    """Count all wedges anchored at slots >= ``s_cut`` with the d-shift
+    kernel; returns ``(pending_limbs, dispatched, total_dispatches)``
+    (submission stops early at ``deadline`` — a wall-clock backstop;
+    partial coverage is dispatched/total of the lane space).
+    ``dd_dev`` is padded on device so the shifted slice never clamps."""
+    import time as _time
+    pieces = _shift_pieces(dag_begin_np, s_cut, D, chunk)
+    n_p = pieces.shape[0]
+    if n_p == 0:
+        return [], 0, 0
+    per = _DISPATCH_W // chunk
+    n_disp = -(-n_p // per)
+    pad = n_disp * per - n_p
+    if pad:
+        # sentinel descriptors: d > any pairs value -> all-invalid
+        sent = np.tile(np.asarray([[1 << 29, 0]], np.int32), (pad, 1))
+        pieces = np.concatenate([pieces, sent])
+    max_d = int(pieces[:, 0][pieces[:, 0] < (1 << 29)].max(initial=1))
+    need = int(pieces[:, 1].max(initial=0)) + chunk + max_d
+    if int(dd_dev.shape[0]) < need:
+        dd_dev = jnp.concatenate([
+            dd_dev, jnp.full((need - int(dd_dev.shape[0]),),
+                             jnp.int32(2 ** 31 - 2), jnp.int32)])
+    pairs = _pairs_on_device(db_dev, int(dd_dev.shape[0]))
+    desc = jax.device_put(pieces)
+    pending = []
+    for di in range(n_disp):
+        pending.append(_count_wedges_shift(
+            dd_dev, pairs, desc, wide_dev,
+            jnp.asarray(di * per, jnp.int32), chunk, seed))
+        if deadline is not None and _time.time() > deadline \
+                and di + 1 < n_disp:
+            return pending, di + 1, n_disp
+    return pending, n_disp, n_disp
 
 
 @partial(jax.jit, static_argnames=("chunk", "bits", "span_bits"))
@@ -631,11 +793,29 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
         if "ctx_perm" not in prep:
             prep["ctx_perm"] = _permuted_ctx(ctx)
         ctx = prep["ctx_perm"]
+    if eh is not None:
+        # hashed path (r6): the d-shift kernel over the descending-
+        # pair layout — both wedge endpoints are contiguous slices
+        # (zero decode gathers, no pair_cum/sample transfers), one
+        # bucket probe per lane, ~2 lanes/wedge.  Measured 34.8 s for
+        # the full 1.41G-wedge LJ-scale count vs 63.9 s for the
+        # window+cummax decode it replaces (12.2 ns/lane ~= the chip's
+        # gather issue rate — speed of light for a probe-per-wedge
+        # design)
+        wide_dev, seed = eh
+        if "perm_begin_np" not in prep:
+            prep["perm_begin_np"] = np.asarray(
+                ctx.dag_begin).astype(np.int64)
+        pending, _, _ = _count_shift_region(
+            ctx.dag_dst, ctx.dag_begin, wide_dev, seed,
+            prep["perm_begin_np"], 0, ctx.num_dag_edges, chunk)
+        return limb_fetch_sum(pending)
     subs = list(_wedge_subranges(ctx))
     hints = _class_pad_hints(subs, chunk, max_deg,
                              int(ctx.dag_dst.shape[0]))
-    # defer all fetches to the end: slice i+1's pair_cum/samples
-    # transfer and dispatch submission overlap slice i's device compute
+    # defer all fetches to the end: every slice's pair_cum/samples
+    # transfer and dispatch submission overlap device compute; ONE
+    # batched counter fetch closes the run
     pending = []
     for (lo, sub, samples, span_bits, pc_base), hint in zip(subs,
                                                             hints):
@@ -643,9 +823,9 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
                               jnp.asarray(samples), sub.num_wedges,
                               chunk, bits, span_bits,
                               samples_np=samples, max_deg=max_deg,
-                              pc_base=pc_base, edge_hash=eh,
+                              pc_base=pc_base, edge_hash=None,
                               pad_hint=hint, defer=True)
-    return sum(limb_value(t) for t in pending)
+    return limb_fetch_sum(pending)
 
 
 def _permuted_ctx(ctx: DagContext) -> DagContext:
@@ -705,7 +885,7 @@ def _class_pad_hints(subs, chunk: int, max_deg: int, dd_len: int):
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
                bits: int, span_bits: int, samples_np=None,
                max_deg=None, pc_base: int = 0, edge_hash=None,
-               pad_hint=None, defer: bool = False):
+               pad_hint=None, defer: bool = False, id_bound=None):
     """Drive the fixed-window kernel over one (sub)range: many short
     dispatches, one compile.  When the host-side samples and max degree
     are supplied and the slot windows are chunk-bounded, the expansion
@@ -763,6 +943,16 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
             "hashed membership requires the expansion-decode windows "
             "(anchor spread too wide for chunk); widen chunk or drop "
             "edge_hash")
+    b_pack = False
+    if expand is not None and edge_hash is not None \
+            and samples_np is not None and id_bound is not None:
+        # gather-free b forward-fill: ids must fit 2 x 12-bit halves,
+        # the ordinal pack must fit (s_max<<12 < 2^31), and the bwin
+        # slice at i0 must never clamp (alignment guarantee)
+        b_pack = (int(id_bound) <= (1 << 24)
+                  and expand[0] <= (1 << 19)
+                  and int(np.asarray(samples_np).max()) + expand[0]
+                  <= int(dd.shape[0]))
     pending = []
     for k0 in range(0, num_wedges, _DISPATCH_W):
         if expand is not None and edge_hash is not None:
@@ -770,7 +960,7 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
             t = _count_wedges_hashed(
                 dd, pc, samples, wide,
                 jnp.asarray(k0, jnp.int32), nl, pb, chunk,
-                expand[0], expand[1], seed)
+                expand[0], expand[1], seed, b_pack=b_pack)
         elif expand is not None:
             t = _count_wedges_expand(
                 db, dd, pc, samples, jnp.asarray(k0, jnp.int32), nl,

@@ -34,3 +34,20 @@ def limb_value(acc) -> int:
     """Host-side exact value (Python int)."""
     hi, lo = acc
     return (int(jax.device_get(hi)) << _LO_BITS) + int(jax.device_get(lo))
+
+
+def limb_fetch_sum(accs) -> int:
+    """Exact sum of many limb accumulators with ONE device->host fetch
+    (each ``limb_value`` costs two tunnel RTTs; a 90-dispatch triangle
+    run pays ~5 s in fetches alone).  The lo limbs are summed on device
+    as 15-bit halves so K <= 65536 accumulators cannot overflow
+    int32."""
+    if not accs:
+        return 0
+    his = jnp.stack([h for h, _ in accs])
+    los = jnp.stack([lo for _, lo in accs])
+    parts = jnp.stack([jnp.sum(his), jnp.sum(los >> 15),
+                       jnp.sum(los & 0x7fff)])
+    import numpy as np
+    p = np.asarray(jax.device_get(parts)).astype(np.int64)
+    return int((p[0] << _LO_BITS) + (p[1] << 15) + p[2])

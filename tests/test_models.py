@@ -195,6 +195,47 @@ class TestTriangles:
         monkeypatch.setattr(m_tri, "_SUBRANGE_LIMIT", 4096)
         assert m_tri.triangle_count(g, chunk=256) == want
 
+    @pytest.mark.parametrize("s_cut_frac", [0.0, 0.4])
+    def test_shift_kernel_matches_oracle(self, s_cut_frac):
+        """The d-shift sparse-class kernel (r6) counts wedge regions
+        exactly: full region and a mid-cut region vs the numpy
+        oracle."""
+        import jax.numpy as jnp
+        from green_marl_tpu.utils.limbs import limb_fetch_sum
+        src, dst = gen.rmat_edges(800, 8000, seed=11)
+        src, dst = to_undirected(src, dst)
+        keep = src != dst
+        g, _ = from_edges(src[keep], dst[keep], 800)
+        ctx = m_tri.build_dag(g)
+        perm = m_tri._permuted_ctx(ctx)
+        eh = m_tri.build_edge_hash(ctx)
+        db_np = np.asarray(perm.dag_begin).astype(np.int64)
+        dd_np = np.asarray(perm.dag_dst)
+        D = perm.num_dag_edges
+        # oracle: wedges anchored at slots >= s_cut that close
+        deg = np.diff(db_np)
+        src_of = np.repeat(np.arange(db_np.shape[0] - 1), deg)
+        row_end = db_np[src_of + 1]
+        s_cut = int(D * s_cut_frac)
+        want = 0
+        # membership set from the (rank, rank) DAG itself
+        rb = np.asarray(ctx.dag_begin).astype(np.int64)
+        rd = np.asarray(ctx.dag_dst)
+        rsrc = np.repeat(np.arange(rb.shape[0] - 1), np.diff(rb))
+        edges = set(zip(rsrc.tolist(),
+                        rd[: rsrc.shape[0]].tolist()))
+        for s in range(s_cut, D):
+            for j in range(s + 1, int(row_end[s])):
+                if (int(dd_np[s]), int(dd_np[j])) in edges:
+                    want += 1
+        pending, done, tot = m_tri._count_shift_region(
+            jnp.asarray(dd_np), jnp.asarray(np.asarray(
+                perm.dag_begin)), jnp.asarray(eh.wide), eh.seed,
+            db_np, s_cut, D, chunk=1 << 17)
+        assert done == tot
+        got = limb_fetch_sum(pending)
+        assert got == want
+
     def test_edge_hash_build_exact(self):
         """Every DAG edge is stored in the wide table exactly; absent
         pairs miss; every stored key sits in its hash bucket."""
