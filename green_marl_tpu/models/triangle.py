@@ -460,97 +460,6 @@ def descending_row_layout(dag_begin: np.ndarray, dag_dst: np.ndarray,
     return perm_dst.astype(np.int32), cum, starts
 
 
-@partial(jax.jit, static_argnames=("chunk", "s_max", "d_win", "seed",
-                                   "b_pack"))
-def _count_wedges_hashed(dag_dst, pair_cum, samples, wide, k0,
-                         n_limit, pc_base, chunk: int, s_max: int,
-                         d_win: int, seed: int,
-                         b_pack: bool = False) -> jax.Array:
-    """Expansion decode + hashed membership: per wedge ONE 512 B
-    bucket-row fetch (128 int32 = a full vector register row) + a
-    64-wide VPU compare — vs ~13 random rounds for the row binary
-    search.
-
-    Decode (r6): the anchor map is forward-filled by scatter+cummax
-    instead of per-wedge window gathers — ``pos`` (wedge position of
-    each anchor) and ``il`` (anchor ordinal in the window) are both
-    monotone in scatter order, so a max-scatter at the anchor's first
-    wedge position followed by ``lax.cummax`` yields the active anchor
-    for every lane with ZERO random reads; with ``b_pack`` (node ids
-    < 2^24 and s_max <= 2^19) the anchor's b value rides along as two
-    (il_rel<<12 | 12-bit half) packs, removing the b gather too.  The
-    chip's gather issue rate (~9.5 ns/row, probe_gather3) is the whole
-    cost model: gathers/wedge drop 4 -> 2 (c + bucket probe), measured
-    36.2 -> 24.6 ns/wedge on the dense LJ slice (probe_tri_prof2),
-    bit-identical counts."""
-    num_chunks = _DISPATCH_W // chunk
-    n_marks = samples.shape[0]
-    hw = wide.shape[0]
-    NEG = jnp.int32(-2147483647)
-
-    def probe(table, h, b, c):
-        rows = table[h]                              # [chunk, 2*_HB]
-        kb = rows[:, 0::2]
-        kc = rows[:, 1::2]
-        return jnp.any((kb == b[:, None]) & (kc == c[:, None]), axis=1)
-
-    def do_chunk(ci, acc):
-        k_start = k0 + ci * chunk
-        i0 = samples[jnp.minimum(k_start >> 8, n_marks - 1)]
-        i0 = jnp.minimum(i0, pc_base + pair_cum.shape[0] - s_max)
-        pc_win = jax.lax.dynamic_slice_in_dim(
-            pair_cum, jnp.maximum(i0 - pc_base, 0), s_max)
-        dd_win = jax.lax.dynamic_slice_in_dim(
-            dag_dst, jnp.minimum(i0, dag_dst.shape[0] - d_win), d_win)
-        idelta = i0 - jnp.minimum(i0, dag_dst.shape[0] - d_win)
-        karr = jnp.arange(chunk, dtype=jnp.int32)
-        k = k_start + karr
-        valid = k < n_limit
-        pos = pc_win.astype(jnp.int32) - k_start       # [s_max] asc
-        base = jnp.sum((pos <= 0).astype(jnp.int32))   # >= 1
-        b0 = base - 1                                  # carry-in anchor
-        pos0 = pc_win[jnp.clip(b0, 0, s_max - 1)] - k_start   # <= 0
-        inb = (pos >= 1) & (pos < chunk)
-        mpos = jnp.clip(pos, 0, chunk - 1)
-        ils = jnp.arange(s_max, dtype=jnp.int32)
-        # active anchor ordinal + its wedge position, forward-filled
-        il_f = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
-            jnp.where(inb, ils, NEG), mode="drop").at[0].max(b0)
-        pos_f = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
-            jnp.where(inb, pos, NEG), mode="drop").at[0].max(
-            jnp.maximum(pos0, NEG + 1))
-        il = jax.lax.cummax(il_f)
-        poscur = jax.lax.cummax(pos_f)
-        off = karr - poscur
-        if b_pack:
-            # b forward-filled as two 12-bit halves packed under the
-            # window-relative anchor ordinal (monotone => cummax
-            # fills).  bwin slices at i0 exactly — the caller enables
-            # b_pack only when max(samples)+s_max <= len(dag_dst), so
-            # XLA's dynamic-slice clamp can never shift the alignment
-            bwin = jax.lax.dynamic_slice_in_dim(dag_dst, i0, s_max)
-            ilr = ils - b0                             # in [.., s_max]
-            b0c = jnp.clip(b0, 0, s_max - 1)
-            bv0 = bwin[b0c]
-            pl = jnp.where(inb, (ilr << 12) | (bwin & 0xfff), NEG)
-            ph = jnp.where(inb, (ilr << 12) |
-                           ((bwin >> 12) & 0xfff), NEG)
-            fl = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
-                pl, mode="drop").at[0].max(bv0 & 0xfff)
-            fh = jnp.full((chunk,), NEG, jnp.int32).at[mpos].max(
-                ph, mode="drop").at[0].max((bv0 >> 12) & 0xfff)
-            b = ((jax.lax.cummax(fh) & 0xfff) << 12) | \
-                (jax.lax.cummax(fl) & 0xfff)
-        else:
-            b = dd_win[jnp.clip(il + idelta, 0, d_win - 1)]
-        c = dd_win[jnp.clip(il + idelta + 1 + off, 0, d_win - 1)]
-        h1 = _mix_hash(b, c, seed, hw, xp=jnp)
-        hit = probe(wide, h1, b, c)
-        return limb_add(acc, jnp.sum((hit & valid).astype(jnp.int32)))
-
-    return jax.lax.fori_loop(0, num_chunks, do_chunk, limb_zero())
-
-
 # ---------------------------------------------------------------------------
 # d-shift kernel for SPARSE row classes (r6).  The window decode pays
 # ~s_max/chunk scatter elements per wedge — ruinous where anchors
@@ -823,7 +732,7 @@ def triangle_count(g: Graph, chunk: int = 1 << 20,
                               jnp.asarray(samples), sub.num_wedges,
                               chunk, bits, span_bits,
                               samples_np=samples, max_deg=max_deg,
-                              pc_base=pc_base, edge_hash=None,
+                              pc_base=pc_base,
                               pad_hint=hint, defer=True)
     return limb_fetch_sum(pending)
 
@@ -884,14 +793,14 @@ def _class_pad_hints(subs, chunk: int, max_deg: int, dd_len: int):
 
 def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
                bits: int, span_bits: int, samples_np=None,
-               max_deg=None, pc_base: int = 0, edge_hash=None,
-               pad_hint=None, defer: bool = False, id_bound=None):
-    """Drive the fixed-window kernel over one (sub)range: many short
-    dispatches, one compile.  When the host-side samples and max degree
-    are supplied and the slot windows are chunk-bounded, the expansion
-    decode replaces the per-wedge window search (~2x fewer random HBM
-    gathers); with ``edge_hash`` = (wide, seed) device table, the
-    row binary search is replaced by the 2-round hashed probe too.
+               max_deg=None, pc_base: int = 0,
+               pad_hint=None, defer: bool = False):
+    """Drive the fixed-window SEARCH kernels over one (sub)range: many
+    short dispatches, one compile.  When the host-side samples and max
+    degree are supplied and the slot windows are chunk-bounded, the
+    expansion decode replaces the per-wedge window search (~2x fewer
+    random HBM gathers).  (Hashed-membership counting lives in the
+    d-shift kernel, ``_count_wedges_shift``.)
 
     ``defer=True`` returns the list of un-fetched device limb counters
     instead of blocking per dispatch — callers issue the NEXT slice's
@@ -935,33 +844,9 @@ def _count_sub(db, dd, pc, samples, num_wedges: int, chunk: int,
 
     samples = pad_to(samples, samples[-1], smp_hint)
     pc = pad_to(pc, jnp.asarray(num_wedges, pc.dtype), pc_hint)
-    if edge_hash is not None and expand is None:
-        # the hashed caller may run on a row-PERMUTED layout whose
-        # dag_begin indexes row positions, not ranks — the search-decode
-        # fallback would silently count garbage there
-        raise RuntimeError(
-            "hashed membership requires the expansion-decode windows "
-            "(anchor spread too wide for chunk); widen chunk or drop "
-            "edge_hash")
-    b_pack = False
-    if expand is not None and edge_hash is not None \
-            and samples_np is not None and id_bound is not None:
-        # gather-free b forward-fill: ids must fit 2 x 12-bit halves,
-        # the ordinal pack must fit (s_max<<12 < 2^31), and the bwin
-        # slice at i0 must never clamp (alignment guarantee)
-        b_pack = (int(id_bound) <= (1 << 24)
-                  and expand[0] <= (1 << 19)
-                  and int(np.asarray(samples_np).max()) + expand[0]
-                  <= int(dd.shape[0]))
     pending = []
     for k0 in range(0, num_wedges, _DISPATCH_W):
-        if expand is not None and edge_hash is not None:
-            wide, seed = edge_hash
-            t = _count_wedges_hashed(
-                dd, pc, samples, wide,
-                jnp.asarray(k0, jnp.int32), nl, pb, chunk,
-                expand[0], expand[1], seed, b_pack=b_pack)
-        elif expand is not None:
+        if expand is not None:
             t = _count_wedges_expand(
                 db, dd, pc, samples, jnp.asarray(k0, jnp.int32), nl,
                 pb, chunk, bits, expand[0], expand[1])
