@@ -200,8 +200,17 @@ def triangle_lj(arrs):
         log(f"# triangle budget reached during submission "
             f"({done_d}/{tot_d} dispatches)")
     total = limb_fetch_sum(pending)
-    covered = num_w if done_d == tot_d \
-        else int(num_w * done_d / tot_d)
+    if done_d == tot_d:
+        covered = num_w
+    else:
+        # exact wedge coverage of the submitted prefix (valid-lane
+        # density varies with d; a dispatch fraction would misstate it)
+        pieces = T._shift_pieces(dag_begin.astype(np.int64), 0, D,
+                                 1 << 17)
+        per = T._DISPATCH_W // (1 << 17)
+        covered = T._shift_covered_wedges(
+            dag_begin.astype(np.int64), 0, 1 << 17, pieces,
+            min(done_d * per, pieces.shape[0]))
     if covered < num_w:
         log(f"# triangle coverage: {covered}/{num_w} wedges "
             f"({100*covered/num_w:.0f}%) — full-run count recorded "

@@ -1022,8 +1022,14 @@ def const_fold(proc: A.Procedure) -> A.Procedure:
                     a - b if e.op == "-" else a * b)
                 return _mk(v, out_t, e.loc)
             if e.op == "/" and b != 0:
-                v = a / b if out_t == "FLOAT" else \
-                    int(a / b)                 # C: truncate toward 0
+                if out_t == "FLOAT":
+                    v = a / b
+                else:
+                    # C truncation toward zero, in exact integer
+                    # arithmetic (float division would mis-round
+                    # operands beyond 2^53)
+                    q = abs(a) // abs(b)
+                    v = q if (a < 0) == (b < 0) else -q
                 return _mk(v, out_t, e.loc)
             if e.op in ("<", ">", "<=", ">=", "==", "!="):
                 v = {"<": a < b, ">": a > b, "<=": a <= b,

@@ -40,21 +40,30 @@ class CompileStep:
         if description is not None:
             self.description = description
         self.okay = True          # is_okay()
-        self.affected = False     # has_affected()
+        self.affected = None      # has_affected(); None = not probed
 
     def process(self, proc: A.Procedure) -> A.Procedure:
         raise NotImplementedError
 
-    def run(self, proc: A.Procedure) -> A.Procedure:
-        """Invoke ``process``; record ``affected`` by reproduced-source
-        comparison (the reference leaves the flag to each step to set;
-        a text probe needs no per-step cooperation and the reproducer
-        is already round-trip-stable, tests/test_lang.py)."""
+    def run(self, proc: A.Procedure,
+            probe_affected: bool = False) -> A.Procedure:
+        """Invoke ``process``; with ``probe_affected``, record
+        ``affected`` by reproduced-source comparison (the reference
+        leaves the flag to each step to set; a text probe needs no
+        per-step cooperation and the reproducer is round-trip-stable,
+        tests/test_lang.py).  The probe costs two full serializations
+        per step, so the production compile path leaves it off and
+        ``affected`` stays None there."""
         from .reproduce import reproduce
-        before = reproduce([proc])
+        before = reproduce([proc]) if probe_affected else None
         out = self.process(proc)
-        self.affected = reproduce([out]) != before
+        self.affected = (reproduce([out]) != before) \
+            if probe_affected else None
         return out
+
+    def __call__(self, proc: A.Procedure) -> A.Procedure:
+        """Steps stay callable like the bare pass function."""
+        return self.process(proc)
 
     def get_instance(self) -> "CompileStep":   # factory protocol
         return copy.copy(self)
@@ -105,12 +114,12 @@ class Pipeline:
         table = {s.name: s for s in self.steps}
         return Pipeline([table[n] for n in names])
 
-    def run(self, proc: A.Procedure,
-            keep_going: bool = False) -> A.Procedure:
+    def run(self, proc: A.Procedure, keep_going: bool = False,
+            probe_affected: bool = False) -> A.Procedure:
         for s in self.steps:
             inst = s.get_instance()
             try:
-                proc = inst.run(proc)
+                proc = inst.run(proc, probe_affected=probe_affected)
             except Exception:
                 inst.okay = False
                 if not keep_going:

@@ -352,7 +352,12 @@ def _tx_expr(e: Optional[A.Expr], t: Transformer) -> Optional[A.Expr]:
     for f in _EXPR_KIDS.get(type(e), ()):
         setattr(e, f, _tx_expr(getattr(e, f), t))
     if isinstance(e, A.Builtin):
+        if e.driver_field is not None:
+            e.driver_field = _tx_expr(e.driver_field, t)
         e.args = [_tx_expr(a, t) for a in e.args]
+    if isinstance(e, A.ReduceExpr) and e.iterator is not None \
+            and e.iterator.source_field is not None:
+        e.iterator.source_field = _tx_expr(e.iterator.source_field, t)
     r = t.rewrite_expr(e)
     return e if r is None else r
 
@@ -377,6 +382,12 @@ def _tx_stmt(s: Optional[A.Stmt], t: Transformer) \
             s.rhs_extra = [_tx_expr(x, t) for x in s.rhs_extra]
         if isinstance(s, A.Foreach):
             s.filter = _tx_expr(s.filter, t)
+            if s.iterator is not None \
+                    and s.iterator.source_field is not None:
+                s.iterator.source_field = _tx_expr(
+                    s.iterator.source_field, t)
+        if isinstance(s, A.ForeignStmt):
+            s.mutated = [_tx_expr(m, t) for m in s.mutated]
         if isinstance(s, A.BFS):
             s.navigator = _tx_expr(s.navigator, t)
             s.filter_fw = _tx_expr(s.filter_fw, t)

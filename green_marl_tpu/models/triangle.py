@@ -540,6 +540,43 @@ def _shift_pieces(dag_begin_np: np.ndarray, s_cut: int, D: int,
     return np.asarray(pieces, np.int32)
 
 
+def _shift_covered_wedges(dag_begin_np: np.ndarray, s_cut: int,
+                          chunk: int, pieces: np.ndarray,
+                          n_done: int) -> int:
+    """EXACT number of wedges covered by the first ``n_done`` pieces
+    (budget-truncation accounting; a lane-fraction estimate misstates
+    coverage because valid-lane density varies with d).  For shift d,
+    per-row valid intervals have ascending starts AND ascending ends,
+    so the prefix count F_d(x) is a cumsum lookup plus at most ONE
+    straddling row — O(log) per distinct d."""
+    lens = np.diff(dag_begin_np.astype(np.int64))
+    lens = lens[lens > 0]
+    cum = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(lens, out=cum[1:])
+    done = pieces[:n_done]
+    done = done[done[:, 0] < (1 << 29)]          # drop sentinels
+    total = 0
+    for d in np.unique(done[:, 0]):
+        k_d = int(np.searchsorted(-lens, -(d + 1), side="right"))
+        if k_d == 0:
+            continue
+        r_d = int(cum[k_d])
+        s_end = int(done[done[:, 0] == d][:, 1].max()) + chunk
+
+        def f(x):
+            x = min(max(x, 0), r_d)
+            # rows whose valid interval ends (cum[r+1] - d) <= x
+            rb = int(np.searchsorted(cum[1: k_d + 1] - d, x,
+                                     side="right"))
+            val = int(cum[rb]) - int(d) * rb
+            if rb < k_d and int(cum[rb]) < x:
+                val += x - int(cum[rb])          # one straddler max
+            return val
+
+        total += f(s_end) - f(s_cut)
+    return total
+
+
 def _count_shift_region(dd_dev, db_dev, wide_dev, seed: int,
                         dag_begin_np: np.ndarray, s_cut: int, D: int,
                         chunk: int = 1 << 17, deadline=None):

@@ -256,7 +256,7 @@ def test_function_step_and_pipeline_trace():
     typecheck(procs)
     pipe = opt.default_pipeline()
     assert "const_fold" in pipe.names()
-    out = pipe.run(copy.deepcopy(procs[-1]))
+    out = pipe.run(copy.deepcopy(procs[-1]), probe_affected=True)
     typecheck([out])
     ran = [name for _, name, ok, _ in pipe.trace]
     assert ran == pipe.names()
@@ -301,6 +301,11 @@ def test_step_decorator_and_error_capture():
             return proc
 
     pipe3 = Pipeline([MyStep()])
-    pipe3.run(copy.deepcopy(procs[-1]))
-    assert pipe3.trace[-1][3] is False      # affected=False
+    pipe3.run(copy.deepcopy(procs[-1]), probe_affected=True)
+    assert pipe3.trace[-1][3] is False      # affected=False (probed)
+    pipe4 = Pipeline([MyStep()])
+    pipe4.run(copy.deepcopy(procs[-1]))
+    assert pipe4.trace[-1][3] is None       # un-probed: no serialization
+    # steps stay callable like the bare pass function
+    assert MyStep()(procs[-1]) is procs[-1]
     assert "noop" in pipe3.describe()
