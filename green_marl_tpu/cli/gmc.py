@@ -14,6 +14,9 @@ optimizer -> lowering):
                 test/opt: ``-DS=2.7 -Dr`` etc.)
       -Dw       print the RW/race analysis report (``-Dw``;
                 test/rw_check protocol: conflicts are REPORTED, rc 0)
+      -Dp       list the optimizer pass schedule (name + description,
+                the ``gm_compile_step`` table) and, with -V, the
+                per-pass affected trace after stage 3
       -V        verbose stage markers
       -p <name> procedure to compile (default: file-name match / last)
 
@@ -31,6 +34,7 @@ def main(argv=None) -> int:
     stop = None
     do_repro = False
     do_rw = False
+    do_passes = False
     verbose = False
     proc_name = None
     files = []
@@ -44,6 +48,8 @@ def main(argv=None) -> int:
                 do_repro = True
             elif a == "-Dw":
                 do_rw = True
+            elif a == "-Dp":
+                do_passes = True
             elif a.startswith("-V"):
                 verbose = True
             elif a == "-p":
@@ -68,6 +74,9 @@ def main(argv=None) -> int:
     from ..lang.rw_analysis import analyze
     from ..lang.typecheck import GMTypeError, typecheck
 
+    if do_passes:
+        pipe = opt.default_pipeline()
+        print(pipe.describe())
     rc = 0
     for f in files:
         try:
@@ -90,7 +99,15 @@ def main(argv=None) -> int:
                 continue
             if verbose:
                 print("..stage 3 independent optimizer", file=sys.stderr)
-            procs = [opt.optimize(p, clone=True) for p in procs]
+            pipe = opt.default_pipeline() if do_passes else None
+            procs = [opt.optimize(p, clone=True, pipeline=pipe,
+                                  probe_affected=do_passes and verbose)
+                     for p in procs]
+            if do_passes and verbose:
+                for pn, sn, ok, aff in pipe.trace:
+                    print(f"..pass {sn:<16s} [{pn}] "
+                          f"{'changed' if aff else 'no change'}",
+                          file=sys.stderr)
             typecheck(procs)
             if stop is not None and stop < 4:
                 if do_repro:

@@ -1075,10 +1075,14 @@ def default_pipeline():
     return Pipeline([FunctionStep(n, f) for n, f in DEFAULT_PASSES])
 
 
-def optimize(procs, passes=None, clone: bool = True, pipeline=None):
+def optimize(procs, passes=None, clone: bool = True, pipeline=None,
+             probe_affected: bool = False):
     """Run the backend-independent pipeline (``gm_ind_opt.cc:15-24``
     equivalent) over one procedure or a list.  ``passes`` selects a
-    named subset; ``pipeline`` substitutes a whole steps.Pipeline."""
+    named subset; ``pipeline`` substitutes a whole steps.Pipeline;
+    ``probe_affected`` records per-pass changed flags in its trace
+    (costs two reproduce() serializations per pass — diagnostics
+    only)."""
     single = isinstance(procs, A.Procedure)
     if single:
         procs = [procs]
@@ -1087,5 +1091,5 @@ def optimize(procs, passes=None, clone: bool = True, pipeline=None):
     pipe = pipeline if pipeline is not None else default_pipeline()
     if passes is not None:
         pipe = pipe.subset(passes)
-    out = [pipe.run(p) for p in procs]
+    out = [pipe.run(p, probe_affected=probe_affected) for p in procs]
     return out[0] if single else out
