@@ -717,6 +717,12 @@ def remove_unused(proc: A.Procedure) -> A.Procedure:
                 for x in [st.lhs] + list(st.lhs_extra):
                     if isinstance(x, A.Field):
                         read.add(x.driver)
+                    elif isinstance(x, A.Ident):
+                        # the reduction READS its targets (primary for
+                        # the compare, extras for the group write) —
+                        # dropping a target's decl/init while the
+                        # argminmax survives breaks the program
+                        read.add(x.name)
             elif isinstance(st, A.VarDecl) and st.init is not None:
                 exprs.append(st.init)
             else:

@@ -206,6 +206,36 @@ def test_remove_unused_scalars(graph):
     assert "ghost" not in names
 
 
+ARGMM_SRC = """
+Procedure amm(G: Graph, D: N_P<Int>(G)) : Node {
+    Node r;
+    Int best;
+    best = +INF;
+    Foreach (n: G.Nodes) {
+        <best; r> min= <n.D; n>;
+    }
+    Return r;
+}
+"""
+
+
+def test_remove_unused_keeps_argminmax_targets(graph):
+    """An argmin/argmax reduction READS its targets (primary for the
+    compare); remove_unused must not strip a target's decl/init while
+    the reduction survives (regression: typecheck failed after
+    optimize)."""
+    procs = parser.parse(ARGMM_SRC)
+    typecheck(procs)
+    o = opt.optimize(copy.deepcopy(procs[-1]))
+    typecheck([o])                       # 'best' must still resolve
+    text = reproduce.reproduce([o])
+    assert "Int best" in text and "best = " in text
+    d = np.arange(graph.n_pad, dtype=np.int32) % 13
+    r0 = _run(procs[-1], graph, D=d)
+    r1 = _run(o, graph, D=d)
+    assert int(r0["_return"]) == int(r1["_return"])
+
+
 FLIP_SRC = """
 Procedure fl(G: Graph, x: N_P<Double>; acc: N_P<Double>)
 {
