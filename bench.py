@@ -58,7 +58,7 @@ SS_ITERS = 10         # single-instance PageRank iterations
 BASELINE_GTEPS = 5.0
 PREP_VERSION = 3     # bump when the binned schedule format changes
 TRI = os.path.join(DDIR, "rmat_lj_tri.npz")
-TRI_VERSION = 4      # triangle cache (v4: one-level wide 512B-row hash)
+TRI_VERSION = 5      # triangle cache (v5: 0xFFFFFF hash sentinel -> packable)
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 if SMOKE:
     N, M = 100_000, 1_600_000
@@ -97,11 +97,13 @@ def _is_oom(e):
     return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
 
 
-def triangle_lj(arrs):
+def triangle_lj(arrs, fast_tunnel=True):
     """LJ-scale triangle count on the chip: symmetrize the bench graph,
     build (or load) the degree-oriented DAG + the one-level wide
     membership hash, count every wedge with the d-shift kernel
-    (models/triangle._count_wedges_shift).  Returns
+    (models/triangle._count_wedges_shift).  On a slow tunnel the two
+    big tables (wide hash 1.1 GB + dag_dst 276 MB) ship 24-bit packed
+    (all values <= 0xFFFFFF incl. the hash empty sentinel).  Returns
     (count, secs, wedges)."""
     import jax
 
@@ -173,11 +175,19 @@ def triangle_lj(arrs):
     num_w = int(np.sum(deg * (deg - 1) // 2))
 
     t0 = time.time()
+    from green_marl_tpu.utils import pack as _pack
     db = jax.device_put(dag_begin.astype(np.int32))
-    dd = jax.device_put(dag_dst)
-    eh_dev = (jax.device_put(wide), seed)
+    pack_tri = (not fast_tunnel) and N < (1 << 24)
+    if pack_tri:
+        dd = _pack.put_packed(dag_dst)
+        wide_d = _pack.put_packed(wide)
+    else:
+        dd = jax.device_put(dag_dst)
+        wide_d = jax.device_put(wide)
+    eh_dev = (wide_d, seed)
     jax.block_until_ready(eh_dev[0])
-    tri_mb = (wide.nbytes + dag_dst.nbytes) / 1e6
+    tri_mb = ((0.75 if pack_tri else 1.0)
+              * (wide.nbytes + dag_dst.nbytes) / 1e6)
     log(f"# triangle transfer {tri_mb:.0f}MB in {time.time()-t0:.1f}s")
     t0 = time.time()
     # wall-clock budget: a hostile-session backstop (the full count
@@ -575,7 +585,7 @@ def main():
     # ============ triangle counting at LJ scale ======================
     # (round-4 verdict item 3; BENCH_TRIANGLE=0 skips)
     def triangle():
-        tri, tri_dt, tri_w = triangle_lj(arrs)
+        tri, tri_dt, tri_w = triangle_lj(arrs, fast_tunnel)
         log(f"# triangle LJ-scale: T={tri} over {tri_w} wedges "
             f"count_time={tri_dt:.1f}s "
             f"({tri_w/tri_dt/1e6:.2f} Mwedges/s)")

@@ -327,7 +327,13 @@ def _count_wedges_expand(dag_begin, dag_dst, pair_cum, samples, k0,
 # ---------------------------------------------------------------------------
 
 _HB = 64                     # key pairs per bucket (one 512 B row fetch)
-_H_EMPTY = np.int32(-1)
+# Empty-slot sentinel: 0xFFFFFF (not -1) keeps every table value
+# nonnegative and < 2^24 so the 1.1 GB wide table ships 24-bit packed
+# through a slow tunnel (utils/pack.py).  Safe at ANY graph scale: the
+# probe is pure (b, c) equality, queries always have b < c (strict
+# rank order), and an empty slot holds the pair (E, E) with b == c —
+# unreachable by any query.
+_H_EMPTY = np.int32(0xFFFFFF)
 # hashed membership pays a table build + ~2x edge memory; profitable
 # once the wedge space dwarfs the edge set (tests shrink this)
 _HASH_MIN_W = 1 << 26

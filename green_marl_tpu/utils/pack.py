@@ -9,6 +9,8 @@ verdict item 6: prep+transfer was 92 s for ~1.5 GB).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,17 +50,28 @@ def unpack24(w: jax.Array, n: int) -> jax.Array:
 def put_packed(a: np.ndarray, n: int | None = None) -> jax.Array:
     """Host->device transfer through the packed representation.
 
-    The packed staging buffer is explicitly ``delete()``d once the
+    N-d arrays are packed flat and restored to ``a.shape`` inside the
+    same unpack jit (used for the triangle wide-hash table).  The
+    packed staging buffer is explicitly ``delete()``d once the
     unpacked array materializes — on a 16 GB chip the staging copies of
     several O(E) arrays otherwise stack up and OOM later allocations
     (round-4 bench crash, VERDICT Weak #1)."""
+    a = np.asarray(a)
+    shape = a.shape
+    flat = a.reshape(-1)
     if n is None:
-        n = int(np.asarray(a).shape[0])
-    w = jax.device_put(pack24(a))
-    out = jax.jit(unpack24, static_argnames=("n",))(w, n)
+        n = int(flat.shape[0])
+    w = jax.device_put(pack24(flat))
+    out = _unpack_shaped(w, n, shape if a.ndim > 1 else None)
     out.block_until_ready()
     w.delete()
     return out
+
+
+@partial(jax.jit, static_argnames=("n", "shape"))
+def _unpack_shaped(w, n, shape):
+    out = unpack24(w, n)
+    return out if shape is None else out.reshape(shape)
 
 
 def csc_dst_from_offsets(r_begin: jax.Array, e_pad: int,

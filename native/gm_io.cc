@@ -412,7 +412,9 @@ int64_t gm_hash_fill_wide(const int32_t* dag_begin,
                           const int32_t* dag_dst, int32_t n, int64_t d,
                           int64_t hw, int32_t slots, uint32_t seed,
                           int32_t* wide) {
-  std::fill(wide, wide + hw * 2 * slots, -1);
+  // empty sentinel 0xFFFFFF (not -1): keeps the table 24-bit-packable
+  // for transfer; pair (E, E) has b == c, unreachable by b < c queries
+  std::fill(wide, wide + hw * 2 * slots, 0xFFFFFF);
   std::vector<int32_t> h1(static_cast<size_t>(d));
   std::vector<int32_t> bsrc(static_cast<size_t>(d));
 #pragma omp parallel for schedule(static)

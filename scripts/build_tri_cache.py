@@ -1,4 +1,4 @@
-"""Rebuild data/rmat_lj_tri.npz (v3: descending-row layout + hash)
+"""Rebuild data/rmat_lj_tri.npz (v5: descending-row layout + packable hash)
 host-side — the same prep bench.py's triangle section performs on a
 cache miss, extracted so probes can run without a device session."""
 import os
@@ -20,7 +20,7 @@ DDIR = os.path.join(os.path.dirname(os.path.dirname(
 EDGES = os.path.join(DDIR, "rmat_lj.npz")
 TRI = os.path.join(DDIR, "rmat_lj_tri.npz")
 N = 4_800_000
-TRI_VERSION = 4
+TRI_VERSION = 5
 
 t0 = time.time()
 e = np.load(EDGES)

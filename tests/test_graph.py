@@ -303,6 +303,12 @@ def test_pack24_roundtrip_and_csc_derivation():
         got = np.asarray(pack.unpack24(jnp.asarray(pack.pack24(a)), n))
         np.testing.assert_array_equal(got, a)
 
+    # put_packed restores N-d shape (triangle wide-hash table path) and
+    # accepts the 0xFFFFFF hash empty sentinel at the range edge
+    a2 = rng.integers(0, (1 << 24), (37, 128)).astype(np.int32)
+    a2[0, :2] = (1 << 24) - 1
+    np.testing.assert_array_equal(np.asarray(pack.put_packed(a2)), a2)
+
     src, dst = gen.rmat_edges(500, 4000, seed=11)
     g, _ = from_edges(src, dst, 500)
     got = np.asarray(pack.csc_dst_from_offsets(

@@ -281,7 +281,7 @@ class TestTriangles:
                       np.diff(dag_begin))
         keys = set(zip(b.tolist(), c.tolist()))
         flat = eh.wide.reshape(-1, 2)
-        live = flat[:, 0] >= 0
+        live = flat[:, 0] != m_tri._H_EMPTY
         stored = set(zip(flat[live, 0].tolist(),
                          flat[live, 1].tolist()))
         assert stored == keys
@@ -429,7 +429,7 @@ class TestTriangleNativePrep:
                       np.diff(db))
         keys = set(zip(b.tolist(), c.tolist()))
         flat = eh.wide.reshape(-1, 2)
-        live = flat[:, 0] >= 0
+        live = flat[:, 0] != m_tri._H_EMPTY
         stored = set(zip(flat[live, 0].tolist(),
                          flat[live, 1].tolist()))
         assert stored == keys
