@@ -19,7 +19,17 @@ MAX24 = (1 << 24) - 1
 
 
 def pack24(a: np.ndarray) -> np.ndarray:
-    """[n] nonneg ints < 2^24  ->  [ceil(n/4)*3] uint32 words."""
+    """[n] nonneg ints < 2^24  ->  [ceil(n/4)*3] uint32 words.
+
+    PLANAR wire layout: the padded value array is split into four
+    contiguous quarters q0..q3 and the three word planes are
+    ``q0|q1<<24``, ``q1>>8|q2<<16``, ``q2>>16|q3<<8``, concatenated.
+    The interleaved layout this replaces needed an [m, 3]-shaped view
+    on device, which XLA materializes in (8, 128)-tiled form — the
+    minor dim pads 3 -> 128, a 42x blowup (35 GB for the 1.1 GB
+    triangle wide table, observed AOT OOM).  Planar unpacking is pure
+    contiguous 1-D slices + a flat concatenate: no tiled small-minor
+    intermediate exists at any size."""
     a = np.asarray(a)
     assert a.min(initial=0) >= 0 and a.max(initial=0) <= MAX24, \
         "pack24 range"
@@ -27,23 +37,27 @@ def pack24(a: np.ndarray) -> np.ndarray:
     m = (n + 3) // 4
     v = np.zeros(m * 4, np.uint32)
     v[:n] = a.astype(np.uint32)
-    v = v.reshape(m, 4)
-    w = np.empty((m, 3), np.uint32)
-    w[:, 0] = v[:, 0] | (v[:, 1] << 24)
-    w[:, 1] = (v[:, 1] >> 8) | (v[:, 2] << 16)
-    w[:, 2] = (v[:, 2] >> 16) | (v[:, 3] << 8)
-    return w.reshape(-1)
+    q = v.reshape(4, m)
+    w = np.empty(3 * m, np.uint32)
+    w[:m] = q[0] | (q[1] << 24)
+    w[m:2 * m] = (q[1] >> 8) | (q[2] << 16)
+    w[2 * m:] = (q[2] >> 16) | (q[3] << 8)
+    return w
 
 
 def unpack24(w: jax.Array, n: int) -> jax.Array:
-    """Device-side inverse of :func:`pack24` -> [n] int32."""
+    """Device-side inverse of :func:`pack24` -> [n] int32.
+
+    Contiguous 1-D slices only (see :func:`pack24` on why the layout
+    is planar); the quarter concatenation restores flat order, so the
+    <=3 pad values always sit at the tail and ``[:n]`` drops them."""
     m = w.shape[0] // 3
-    w = w.reshape(m, 3)
-    v0 = w[:, 0] & MAX24
-    v1 = ((w[:, 0] >> 24) | (w[:, 1] << 8)) & MAX24
-    v2 = ((w[:, 1] >> 16) | (w[:, 2] << 16)) & MAX24
-    v3 = (w[:, 2] >> 8) & MAX24
-    out = jnp.stack([v0, v1, v2, v3], axis=1).reshape(-1)
+    w0, w1, w2 = w[:m], w[m:2 * m], w[2 * m:]
+    v0 = w0 & MAX24
+    v1 = ((w0 >> 24) | (w1 << 8)) & MAX24
+    v2 = ((w1 >> 16) | (w2 << 16)) & MAX24
+    v3 = (w2 >> 8) & MAX24
+    out = jnp.concatenate([v0, v1, v2, v3])
     return out[:n].astype(jnp.int32)
 
 
@@ -62,16 +76,26 @@ def put_packed(a: np.ndarray, n: int | None = None) -> jax.Array:
     if n is None:
         n = int(flat.shape[0])
     w = jax.device_put(pack24(flat))
-    out = _unpack_shaped(w, n, shape if a.ndim > 1 else None)
+    out = jax.jit(unpack24, static_argnames=("n",))(w, n)
     out.block_until_ready()
     w.delete()
+    if len(shape) > 1:
+        # SEPARATE jitted reshape: fusing it into the unpack jit makes
+        # XLA materialize the [m, 3] word view in tiled layout (minor
+        # dim padded 3 -> 128 = 42x memory, a 35 GB allocation for the
+        # 1.1 GB triangle wide table — observed AOT OOM on-chip);
+        # standalone, the flat unpack fuses and the flat -> [rows, 128]
+        # reshape is tile-aligned.
+        out2 = _reshape_dev(out, shape)
+        out2.block_until_ready()
+        out.delete()
+        out = out2
     return out
 
 
-@partial(jax.jit, static_argnames=("n", "shape"))
-def _unpack_shaped(w, n, shape):
-    out = unpack24(w, n)
-    return out if shape is None else out.reshape(shape)
+@partial(jax.jit, static_argnames=("shape",))
+def _reshape_dev(x, shape):
+    return x.reshape(shape)
 
 
 def csc_dst_from_offsets(r_begin: jax.Array, e_pad: int,
