@@ -34,12 +34,21 @@ sys.path.insert(0, REPO)
 ITERS = 40
 SIZES = [(100_000, 1_000_000), (400_000, 4_000_000),
          (1_000_000, 10_000_000), (2_000_000, 20_000_000)]
+# `lj` mode: the actual LJ-scale operating point, reusing bench.py's
+# cached edge list so the 5 processes don't regenerate 69M RMAT edges
+LJ_SIZE = (4_800_000, 69_000_000)
+LJ_EDGES = os.path.join(REPO, "data", "rmat_lj.npz")
 
 
 def _build(n, e):
+    import numpy as np
     from green_marl_tpu.graph import generate as gen
     from green_marl_tpu.graph.csr import from_edges
-    src, dst = gen.rmat_edges(n, e, seed=13)
+    if (n, e) == LJ_SIZE and os.path.exists(LJ_EDGES):
+        z = np.load(LJ_EDGES)
+        src, dst = z["src"], z["dst"]
+    else:
+        src, dst = gen.rmat_edges(n, e, seed=13)
     g, _ = from_edges(src, dst, n)
     return g
 
@@ -133,8 +142,12 @@ def main():
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                int(sys.argv[5]), int(sys.argv[6]))
         return
-    sizes = SIZES[-1:] if (len(sys.argv) > 1 and sys.argv[1] == "quick") \
-        else SIZES
+    if len(sys.argv) > 1 and sys.argv[1] == "quick":
+        sizes = SIZES[-1:]
+    elif len(sys.argv) > 1 and sys.argv[1] == "lj":
+        sizes = [LJ_SIZE]
+    else:
+        sizes = SIZES
     rows = []
     for n, e in sizes:
         t1 = single_process(n, e)
