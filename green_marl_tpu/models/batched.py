@@ -267,6 +267,14 @@ class BitBfsResult(NamedTuple):
     traversed: jax.Array   # [B] per-instance Graph500 traversed edges
 
 
+# Row-chunk size for the popstats bit expansion: the per-bit int32
+# view of the plane costs 4x its bytes, and at twitter-class n_rows
+# (>2^24) a whole-plane expansion transient is what OOMs a 16 GB chip
+# (probe_twitter_scale: N=24M failed at warmup, N=20M ran).  Chunking
+# caps the transient at ~0.5 GB per bit with identical int32 sums.
+_POP_CH = 1 << 20
+
+
 def _bit_popstats(newly, deg_rows, lanes, bits=8):
     """Per-instance (lane*8+bit) counts and degree-weighted counts from a
     [n_rows, lanes] uint8 plane.
@@ -276,17 +284,25 @@ def _bit_popstats(newly, deg_rows, lanes, bits=8):
     1.46B); callers aggregate across instances on the host in int64 —
     device-side int64 is unavailable without jax_enable_x64."""
     one = jnp.ones((), newly.dtype)
-    cnts = []
-    travs = []
-    for i in range(bits):
-        p = ((newly >> i) & one).astype(jnp.int32)      # [n_rows, lanes]
-        cnts.append(jnp.sum(p, axis=0))                  # [lanes]
-        travs.append(jnp.sum(p * deg_rows[:, None], axis=0,
-                             dtype=jnp.int32))
+    n_rows = newly.shape[0]
+    starts = list(range(0, n_rows, _POP_CH)) \
+        if n_rows > 2 * _POP_CH else [0]
+    cnt = jnp.zeros((lanes, bits), jnp.int32)
+    trav = jnp.zeros((lanes, bits), jnp.int32)
+    for s in starts:
+        blk = newly[s:s + _POP_CH] if len(starts) > 1 else newly
+        dblk = deg_rows[s:s + _POP_CH] if len(starts) > 1 else deg_rows
+        cnts = []
+        travs = []
+        for i in range(bits):
+            p = ((blk >> i) & one).astype(jnp.int32)   # [<=CH, lanes]
+            cnts.append(jnp.sum(p, axis=0))             # [lanes]
+            travs.append(jnp.sum(p * dblk[:, None], axis=0,
+                                 dtype=jnp.int32))
+        cnt = cnt + jnp.stack(cnts, axis=1)
+        trav = trav + jnp.stack(travs, axis=1)
     # instance index convention: b = lane * 8 + bit
-    cnt = jnp.stack(cnts, axis=1).reshape(-1)            # [lanes*8]
-    trav = jnp.stack(travs, axis=1).reshape(-1)
-    return cnt, trav
+    return cnt.reshape(-1), trav.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("max_iter", "plane_bits"))

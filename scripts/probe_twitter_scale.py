@@ -25,9 +25,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Measured on this 16 GB chip: N=24M OOMs at warmup (the popstats
-# int32 expansion adds a 4x-plane transient), N=20M runs —
-# 9.92 GTEPS aggregate, 14 levels, run-to-run spread 0.3 ms/13.4 s.
+# Measured on this 16 GB chip: N=20M runs (9.92 GTEPS aggregate, 14
+# levels, run-to-run spread 0.3 ms/13.4 s); N=24M OOMs even with the
+# row-chunked popstats (models/batched._POP_CH) — the 3 live plane
+# buffers + edge_map gather intermediates bind, so larger N is the
+# vertex-sharded multi-chip path.
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
 E = int(sys.argv[2]) if len(sys.argv) > 2 else 130_000_000
 B = 1024

@@ -150,6 +150,30 @@ def test_multi_source_bfs_bits_matches_int_version(rng):
     assert int(got.levels_run) == int(ref.levels_run)
 
 
+def test_bit_popstats_chunked_matches(rng, monkeypatch):
+    """The row-chunked popstats path (engaged at twitter-class n_rows
+    to cap the int32 expansion transient) sums identically to the
+    single-block path."""
+    g, src, dst = random_graph(rng, n=300, m=2500, skew=True)
+    bp = binned.binned_in(g, w_max=16)
+    B = 20
+    roots = jnp.asarray(rng.integers(0, g.num_nodes, B).astype(np.int32))
+    deg = bp.to_binned(g.out_degree()[:g.num_nodes]).astype(jnp.int32)
+    deg_rows = jnp.concatenate(
+        [deg, jnp.zeros((bp.n_rows - bp.n_nodes,), jnp.int32)])
+    a = batched.multi_source_bfs_bits(bp, roots, deg_rows)
+    monkeypatch.setattr(batched, "_POP_CH", 37)   # force many chunks
+    # _POP_CH is read at trace time — drop the cached executable so
+    # the chunked path actually retraces
+    batched.multi_source_bfs_bits._clear_cache()
+    b = batched.multi_source_bfs_bits(bp, roots, deg_rows)
+    batched.multi_source_bfs_bits._clear_cache()
+    np.testing.assert_array_equal(np.asarray(a.reached),
+                                  np.asarray(b.reached))
+    np.testing.assert_array_equal(np.asarray(a.traversed),
+                                  np.asarray(b.traversed))
+
+
 def test_multi_source_bfs_bits32_matches(rng):
     """uint32 planes: 32 instances/lane (the 4096-source headline
     packing) — same results as the uint8 path."""
