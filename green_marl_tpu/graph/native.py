@@ -31,12 +31,20 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libgmtpu_io.so")
-    if not os.path.exists(so):
+    src = os.path.join(_NATIVE_DIR, "gm_io.cc")
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(so) < os.path.getmtime(src)))
+    if stale:
+        # rebuild on source-newer-than-binary too: a stale .so with
+        # changed semantics (e.g. the hash empty-sentinel value) would
+        # poison versioned on-disk caches built through it
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

@@ -285,13 +285,12 @@ def _bit_popstats(newly, deg_rows, lanes, bits=8):
     device-side int64 is unavailable without jax_enable_x64."""
     one = jnp.ones((), newly.dtype)
     n_rows = newly.shape[0]
-    starts = list(range(0, n_rows, _POP_CH)) \
-        if n_rows > 2 * _POP_CH else [0]
+    starts = range(0, n_rows, _POP_CH)
     cnt = jnp.zeros((lanes, bits), jnp.int32)
     trav = jnp.zeros((lanes, bits), jnp.int32)
     for s in starts:
-        blk = newly[s:s + _POP_CH] if len(starts) > 1 else newly
-        dblk = deg_rows[s:s + _POP_CH] if len(starts) > 1 else deg_rows
+        blk = newly[s:s + _POP_CH]
+        dblk = deg_rows[s:s + _POP_CH]
         cnts = []
         travs = []
         for i in range(bits):

@@ -408,6 +408,12 @@ def build_edge_hash(ctx: DagContext, alpha: float = 0.5) -> EdgeHash:
                 break
             wide, fail = r
             if fail == 0:
+                if int(wide.min(initial=0)) < 0:
+                    # a pre-0xFFFFFF-sentinel .so would poison the
+                    # versioned triangle cache with -1 fills
+                    raise RuntimeError(
+                        "libgmtpu_io.so is stale (old hash sentinel); "
+                        "run: make -C native -B")
                 return EdgeHash(wide=wide, seed=seed)
         else:
             raise RuntimeError(

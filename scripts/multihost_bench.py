@@ -44,7 +44,13 @@ def _build(n, e):
     import numpy as np
     from green_marl_tpu.graph import generate as gen
     from green_marl_tpu.graph.csr import from_edges
-    if (n, e) == LJ_SIZE and os.path.exists(LJ_EDGES):
+    if (n, e) == LJ_SIZE:
+        if not os.path.exists(LJ_EDGES):
+            # a silent seed-13 fallback would record an "LJ point"
+            # measured on a different graph
+            raise SystemExit(
+                "lj mode needs bench.py's cached edge list "
+                f"({LJ_EDGES}); run `python bench.py` once first")
         z = np.load(LJ_EDGES)
         src, dst = z["src"], z["dst"]
     else:

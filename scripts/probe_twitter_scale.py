@@ -86,7 +86,8 @@ def main():
     bp = binned.build_binned(np.asarray(r_begin), np.asarray(csc_src),
                              N, round_up(E))
     deg_rows = np.zeros(bp.n_rows, np.int32)
-    deg_rows[:N] = out_deg[np.asarray(bp.perm)]
+    deg_rows[: bp.n_nodes] = np.asarray(
+        bp.to_binned(out_deg.astype(np.int32)))
     log(f"# binning {time.time()-t0:.1f}s (n_rows={bp.n_rows} "
         f"slots={bp.slot_src.shape[0]})")
 
