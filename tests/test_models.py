@@ -414,6 +414,22 @@ class TestTriangleNativePrep:
         np.testing.assert_array_equal(np.asarray(a[2]),
                                       np.asarray(b[2]))
 
+    def test_stale_native_hash_rejected(self, monkeypatch):
+        """A pre-0xFFFFFF-sentinel libgmtpu_io.so (-1 fills) must be
+        rejected, not silently cached into the versioned triangle
+        tables (code-review r6 finding)."""
+        from green_marl_tpu.graph import native
+        g = self._graph(5)
+        ctx = m_tri.build_dag(g)
+        monkeypatch.setattr(native, "available", lambda: True)
+
+        def stale_fill(dag_begin, c, n, d, hw, slots, seed):
+            return np.full((hw, 2 * slots), -1, np.int32), 0
+
+        monkeypatch.setattr(native, "hash_fill_wide", stale_fill)
+        with pytest.raises(RuntimeError, match="stale"):
+            m_tri.build_edge_hash(ctx)
+
     def test_hash_fill_native(self, monkeypatch):
         from green_marl_tpu.graph import native
         if not native.available():
