@@ -38,13 +38,21 @@ def _placement(ctx: RunContext) -> str:
     return p.lower()
 
 
-def _run_replicated(ctx, gm_app: str, **kw):
+def _resolve_cp(gm_app):
+    """App name (compiled from the reference sources) or an
+    already-compiled ``CompiledProc`` (custom .gm mains)."""
+    if isinstance(gm_app, str):
+        from ..lang.lower import compile_file
+        return compile_file(f"/root/reference/apps/src/{gm_app}.gm")
+    return gm_app
+
+
+def _run_replicated(ctx, gm_app, **kw):
     """-GMPlacement=replicate: compiled DSL program, edge arrays
     sharded, node state replicated + psum (the round-1 scheme, Shoal
     baseline config)."""
     from ..lang import distribute
-    from ..lang.lower import compile_file
-    cp = compile_file(f"/root/reference/apps/src/{gm_app}.gm")
+    cp = _resolve_cp(gm_app)
     return distribute.run_sharded(cp, ctx.graph, **kw)
 
 
@@ -74,7 +82,6 @@ def _run_compiled_vsharded(ctx: RunContext, gm_app: str, k: int, **kw):
     import jax
 
     from ..lang import lower_vertex as LV
-    from ..lang.lower import compile_file
     if len(jax.devices()) < k:
         raise SystemExit(
             f"-GMNumChips={k}: only {len(jax.devices())} devices "
@@ -83,7 +90,7 @@ def _run_compiled_vsharded(ctx: RunContext, gm_app: str, k: int, **kw):
     mesh = LV._default_mesh("v", k)
     sched = LV.place_schedule(LV.build_schedule(ctx.graph, k), mesh)
     print(LV.placement_report(sched), file=sys.stderr)
-    cp = compile_file(f"/root/reference/apps/src/{gm_app}.gm")
+    cp = _resolve_cp(gm_app)
     with _w.catch_warnings():
         _w.simplefilter("ignore")
         return LV.run_vertex_sharded(cp, ctx.graph, mesh=mesh,
@@ -859,16 +866,119 @@ APPS = {
 }
 
 
+_GM_PRIM2BIO = {
+    "BOOL": bio.GMTYPE_BOOL, "INT": bio.GMTYPE_INT,
+    "LONG": bio.GMTYPE_LONG, "FLOAT": bio.GMTYPE_FLOAT,
+    "DOUBLE": bio.GMTYPE_DOUBLE, "NODE": bio.GMTYPE_NODE,
+    "EDGE": bio.GMTYPE_EDGE,
+}
+
+
+def make_custom(path: str) -> UserMain:
+    """``gm_default_usermain`` analog for an ARBITRARY ``.gm`` file:
+    the procedure's declared schema becomes the CLI — scalar inputs
+    turn into flags, input properties load from the graph file (EBIN/
+    AVRO), output properties/return print through the stdout protocol
+    and store with ``-GMDumpGraph`` — exactly what the reference
+    generates with ``-CppMain`` (``gm_default_usermain.cc:123``
+    auto-registers procedure args as options).  ``-GMNumChips`` routes
+    through the compiled vertex-sharded lowering like registered apps.
+    Collection/map arguments are not CLI-bindable; use the library API
+    (``compile_file(path)(g, ...)``) for those."""
+    from ..lang.lower import compile_file
+    cp = compile_file(path)
+    proc = cp.proc
+    m = UserMain(proc.name,
+                 f"{proc.name} (compiled from {os.path.basename(path)})")
+    in_scalars, in_props, out_props, skipped = [], [], [], []
+    for decl in proc.args:
+        t = decl.type
+        for nm in decl.names:
+            if t.kind == "GRAPH":
+                continue
+            if t.is_property():
+                bt = _GM_PRIM2BIO.get(getattr(t.elem, "kind", None),
+                                      bio.GMTYPE_DOUBLE)
+                kind = GM_NODEPROP if t.kind == "NODEPROP" \
+                    else GM_EDGEPROP
+                m.declare_property(nm, bt, True, False, kind)
+                in_props.append((nm, kind))
+            elif t.kind in _GM_PRIM2BIO:
+                m.declare_scalar(nm, _GM_PRIM2BIO[t.kind], True, False,
+                                 default=0)
+                in_scalars.append(nm)
+            else:
+                skipped.append(nm)
+    for decl in proc.out_args:
+        t = decl.type
+        for nm in decl.names:
+            if t.is_property():
+                bt = _GM_PRIM2BIO.get(getattr(t.elem, "kind", None),
+                                      bio.GMTYPE_DOUBLE)
+                kind = GM_NODEPROP if t.kind == "NODEPROP" \
+                    else GM_EDGEPROP
+                m.declare_property(nm, bt, False, True, kind)
+                out_props.append(nm)
+            elif t.kind in _GM_PRIM2BIO:
+                m.declare_scalar(nm, _GM_PRIM2BIO[t.kind], False, True)
+                out_props.append(nm)
+    rt = proc.return_type
+    if rt is not None and rt.kind in _GM_PRIM2BIO:
+        m.declare_scalar("return", _GM_PRIM2BIO[rt.kind], False, True)
+    if skipped:
+        print(f"# note: collection/map args {skipped} are not "
+              "CLI-bindable; pass them via the library API",
+              file=sys.stderr)
+
+    def run(ctx: RunContext) -> Dict:
+        kw = {}
+        for nm in in_scalars:
+            v = ctx.scalars.get(nm)
+            if v is not None:
+                kw[nm] = v
+        g = ctx.graph
+        for nm, kind in in_props:
+            src = (ctx.node_props if kind == GM_NODEPROP
+                   else ctx.edge_props)
+            if nm not in src:
+                continue
+            a = np.asarray(src[nm])
+            # compiled binding takes padded arrays (apps pad
+            # themselves, lower._bind does not)
+            pad_n = g.n_pad if kind == GM_NODEPROP else g.e_pad
+            padded = np.zeros(pad_n, a.dtype)
+            padded[: a.shape[0]] = a
+            kw[nm] = padded
+        k = _num_chips(ctx)
+        if k > 1 and _placement(ctx) == "replicate":
+            out = _run_replicated(ctx, cp, **kw)
+        elif k > 1:
+            out = _run_compiled_vsharded(ctx, cp, k, **kw)
+        else:
+            out = cp(g, **kw)
+        res = {nm: np.asarray(out[nm]) for nm in out_props
+               if nm in out}
+        if "_return" in out:
+            res["return"] = out["_return"]
+        return res
+
+    m.set_run(run)
+    return m
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m green_marl_tpu.cli.run <app> [options] "
-              "<graph> [output]")
+        print("usage: python -m green_marl_tpu.cli.run "
+              "<app | file.gm> [options] <graph> [output]")
         print("apps: " + ", ".join(sorted(APPS)))
         return 1
     app = argv[0]
     if app not in APPS:
-        print(f"unknown app '{app}'; available: {', '.join(sorted(APPS))}",
+        if app.endswith(".gm") and os.path.exists(app):
+            return make_custom(app).main(argv[1:])
+        print(f"unknown app '{app}'; available: {', '.join(sorted(APPS))}"
+              " (or a path to a .gm file)",
               file=sys.stderr)
         return 1
     return APPS[app]().main(argv[1:])

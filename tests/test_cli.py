@@ -186,3 +186,48 @@ def test_new_reference_mains_run(tmp_path, capsys):
         assert rc == 0, app
         assert frag in out, (app, out[-400:])
     assert len(APPS) >= 27
+
+
+CUSTOM_GM = """\
+Procedure my_deg_scale(G: Graph, alpha: Double;
+                       S: N_P<Double>(G)): Double {
+    Double total = 0.0;
+    Foreach(n: G.Nodes) {
+        n.S = alpha * (Double) n.OutDegree();
+        total += n.S;
+    }
+    Return total;
+}
+"""
+
+
+def test_custom_gm_main(tmp_path, capsys):
+    """Generic usermain for an arbitrary .gm file (the reference's
+    -CppMain / gm_default_usermain capability): scalar args become
+    flags, output properties print + CRC, and -GMNumChips routes
+    through the compiled vertex-sharded path with identical output."""
+    binp = str(tmp_path / "g.bin")
+    rc, _ = run_cli(graph_gen.main,
+                    ["-type=uniform", "-seed=3", "400", "3000", binp],
+                    capsys)
+    assert rc == 0
+    gm = tmp_path / "my_deg_scale.gm"
+    gm.write_text(CUSTOM_GM)
+
+    rc, out1 = run_cli(apps.main, [str(gm), "-alpha=2.5", binp], capsys)
+    assert rc == 0
+    assert "my_deg_scale returns: 7500.000000000" in out1   # 2.5 * E
+    assert re.search(r"CRC16 S 0x[0-9a-f]{4}", out1)
+
+    rc, out8 = run_cli(apps.main,
+                       [str(gm), "-GMNumChips=8", "-alpha=2.5", binp],
+                       capsys)
+    assert rc == 0
+    # bit-identical across placements (determinism/CRC gate)
+    tail = lambda s: [ln for ln in s.splitlines()
+                      if ln.startswith(("S[", "CRC", "my_deg_scale"))]
+    assert tail(out8) == tail(out1)
+
+    # unknown app error still lists the .gm path option
+    rc = apps.main(["definitely_not_an_app"])
+    assert rc == 1
