@@ -1618,6 +1618,25 @@ class Lowerer:
         picked = vals_b[winc].astype(arr.dtype)
         return jnp.where(touched, picked, arr)
 
+    def _owner_lane_key(self, ctx, owner):
+        """Per-current-lane index into ``owner``'s lane space, for
+        reductions into an enclosing context's scalar local.  Owner
+        lanes: NodeCtx = node ids ([N_pad] iota), EdgeCtx = slots."""
+        if getattr(ctx, "parent", None) is owner:
+            if ctx.kind == "wedge":
+                return ctx.sel, ctx.parent_len
+            if ctx.kind == "edge":
+                return ctx.outer_ids, owner.mask.shape[0]
+        if (ctx.kind == "wedge"
+                and getattr(ctx.parent, "kind", None) == "edge"
+                and getattr(ctx.parent, "parent", None) is owner):
+            # wedge -> edge slot -> node lane
+            return (jnp.asarray(ctx.parent.outer_ids)[ctx.sel],
+                    owner.mask.shape[0])
+        raise LowerError(
+            "reduction into a local declared more than two loop "
+            "levels up not lowerable")
+
     def _exec_reduce_assign(self, s: A.ReduceAssign, env, ctx):
         op = s.op
         lhs = s.lhs
@@ -1632,6 +1651,51 @@ class Lowerer:
                 return
             mask = ctx.mask
             vals = jnp.broadcast_to(jnp.asarray(val), mask.shape)
+            # A scalar LOCAL of an enclosing vectorized context reduced
+            # from a deeper loop is a PER-LANE accumulator, not a global
+            # one (the reference privatizes it per outer iteration —
+            # each `n` has its own `tri` in
+            #   Foreach(n){ Int tri=0; Foreach(t: n.Nbrs){ tri += ..}}):
+            # segment-reduce keyed by the owner lane instead of jnp.sum
+            # over everything.
+            owner = None
+            c = getattr(ctx, "parent", None)
+            while c is not None:
+                if lhs.name in c.locals:
+                    owner = c
+                    break
+                c = getattr(c, "parent", None)
+            if owner is not None:
+                key, nseg = self._owner_lane_key(ctx, owner)
+                if op in ("AND", "OR"):
+                    work = vals.astype(jnp.int8)
+                    sub = "min" if op == "AND" else "max"
+                    ident = _identity("MIN" if op == "AND" else "MAX",
+                                      jnp.int8)
+                else:
+                    sub = _SEG_OP.get(op)
+                    if sub is None:
+                        raise LowerError(
+                            f"{op}= into an enclosing-loop local "
+                            "not lowerable")
+                    work = vals
+                    ident = _identity(op, vals.dtype)
+                work = jnp.where(mask, work, ident)
+                seg = {"add": ops.segment_sum, "min": ops.segment_min,
+                       "max": ops.segment_max}[sub](
+                    work, jnp.asarray(key), nseg, sorted_ids=False)
+                if self.axis is not None and ctx.kind == "edge":
+                    # partial per-lane results per edge shard
+                    seg = (self._pcomb(seg.astype(jnp.int8), sub) > 0
+                           if op in ("AND", "OR")
+                           else self._pcomb(seg, sub))
+                elif op in ("AND", "OR"):
+                    seg = seg > 0
+                cur = jnp.broadcast_to(jnp.asarray(env[lhs.name]),
+                                       seg.shape)
+                self._wr(env, lhs.name,
+                         _coerce(_combine(op, cur, seg), dt))
+                return
             ident = _identity(op, vals.dtype)
             vals = jnp.where(mask, vals, ident)
             red = {"SUM": jnp.sum, "MULT": jnp.prod, "MIN": jnp.min,

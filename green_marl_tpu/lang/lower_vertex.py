@@ -1036,6 +1036,22 @@ class VertexLowerer(Lowerer):
                 self._wr(env, lhs.name,
                          _coerce(_combine(op, cur, val), dt))
                 return
+            # A local of an ENCLOSING parallel context is a per-lane
+            # accumulator; its edge slots live on dst-owner shards, so a
+            # correct implementation needs the reverse message-combine
+            # the field path has.  Reject with a remedy instead of
+            # producing a silently-global sum (GPS-style feasibility
+            # check; the Sum()-expression and property-target forms of
+            # the same computation distribute fine).
+            c = getattr(ctx, "parent", None)
+            while c is not None:
+                if lhs.name in c.locals:
+                    raise LowerError(
+                        f"reduction into '{lhs.name}', a local of an "
+                        "enclosing parallel loop, is not vertex-"
+                        "shardable — rewrite as a Sum/Min/Max(...) "
+                        "expression or reduce into a node property")
+                c = getattr(c, "parent", None)
             # scalar reduce over a parallel context: local masked reduce,
             # then the master-scalar combine across shards (node space is
             # sharded here, unlike the replicated edge-sharding mode)
